@@ -1,0 +1,223 @@
+"""HTML DOM parsing + NeuScraper-style node instrumentation (pure functions).
+
+Replicates the *semantics* of the reference's DOM layer with the Python
+stdlib only (no bs4 in this environment):
+
+- stack-order DFS node-id assignment with bare-text wrapping in
+  ``<span instrument_node>`` elements (reference:
+  ``/root/reference/src/warc/build.py:37-67`` ``add_node_id``) — note the
+  reference uses an explicit LIFO stack, so *sibling subtrees are numbered
+  in reverse document order*; the text child of an existing ``<span>`` is
+  never wrapped (and therefore never becomes a text node);
+- text-node definition: instrumented span whose parent is not
+  ``<noscript>`` (``/root/reference/src/api/CommonCrawlApi.py:53``);
+- node-sequence extraction in document order: text nodes with non-empty
+  ``strip('\\r\\n\\t\\xa0 ')``-ed text, plus ``ol``/``dl``/``table``
+  container nodes which are emitted into the model sequence even when
+  their text is empty (``/root/reference/src/warc/build.py:83-95``,
+  ``src/build_train.py:117-132``) but only written to the nodes table when
+  non-empty (``/root/reference/src/warc/build.py:155-165``).
+
+Only elements reachable from the FIRST top-level element receive node ids
+(the reference instruments ``soup.find_all()[0]``); trailing top-level
+fragments are ignored, exactly like the reference.
+
+These functions are shared verbatim by the Ray pipeline UDFs and by the
+single-process oracle (``neuscraper_ray.oracle``), which is what makes the
+byte-identical conformance test meaningful.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+STRIP_CHARS = "\r\n\t\xa0 "
+CONTAINER_TAGS = ("ol", "dl", "table")
+
+# HTML5 void elements: no end tag, never have children.
+VOID_TAGS = frozenset(
+    {
+        "area",
+        "base",
+        "br",
+        "col",
+        "embed",
+        "hr",
+        "img",
+        "input",
+        "link",
+        "meta",
+        "param",
+        "source",
+        "track",
+        "wbr",
+    }
+)
+
+
+class Element:
+    """One DOM element. ``children`` holds Elements and raw strings."""
+
+    __slots__ = ("tag", "parent", "children", "node_id", "instrument")
+
+    def __init__(self, tag: str, parent: "Element | None" = None, instrument: bool = False):
+        self.tag = tag
+        self.parent = parent
+        self.children: list[Element | str] = []
+        self.node_id: int | None = None
+        self.instrument = instrument
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"<{self.tag} id={self.node_id} n_children={len(self.children)}>"
+
+
+class _DomBuilder(HTMLParser):
+    """Event-driven DOM builder.
+
+    Tolerant of stray end tags (ignored) and unclosed tags (closed at the
+    nearest matching ancestor), deterministic for well-formed input. The
+    synthetic corpus generator emits well-formed HTML, so browser-grade
+    error recovery is out of scope; malformed input still parses to *some*
+    deterministic tree rather than raising.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("[document]")
+        self._stack: list[Element] = [self.root]
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        el = Element(tag, self._stack[-1])
+        self._stack[-1].children.append(el)
+        if tag not in VOID_TAGS:
+            self._stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        el = Element(tag, self._stack[-1])
+        self._stack[-1].children.append(el)
+
+    def handle_endtag(self, tag: str) -> None:
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._stack[-1].children.append(data)
+
+    # comments / doctype / processing instructions are dropped; the
+    # synthetic corpus does not emit them (documented divergence from
+    # bs4, which models comments as wrappable strings).
+
+
+def parse_html(html: str) -> Element:
+    """Parse an HTML string into a document tree (virtual root element)."""
+    builder = _DomBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def instrument(doc: Element) -> int:
+    """Assign stack-order node ids and wrap bare text in instrument spans.
+
+    Mirrors ``add_node_id`` (/root/reference/src/warc/build.py:37-67):
+    explicit LIFO stack starting at the first top-level element; children
+    pushed in document order (hence *visited* in reverse); every string
+    child is replaced by a ``<span instrument_node>`` wrapper *except*
+    direct string children of an existing ``<span>``, which stay bare.
+
+    Returns the number of ids assigned (0 for a tree with no elements).
+    """
+    first = next((c for c in doc.children if isinstance(c, Element)), None)
+    if first is None:
+        return 0
+    stack = [first]
+    next_id = 0
+    while stack:
+        node = stack.pop()
+        node.node_id = next_id
+        next_id += 1
+        to_push: list[Element] = []
+        new_children: list[Element | str] = []
+        for child in node.children:
+            if isinstance(child, str):
+                if node.tag == "span":
+                    new_children.append(child)  # reference skips span text
+                    continue
+                wrapper = Element("span", node, instrument=True)
+                wrapper.children.append(child)
+                new_children.append(wrapper)
+                to_push.append(wrapper)
+            else:
+                new_children.append(child)
+                to_push.append(child)
+        node.children = new_children
+        stack.extend(to_push)  # LIFO: last child explored first
+    return next_id
+
+
+def iter_elements(doc: Element):
+    """Yield elements in document (pre)order, like ``soup.find_all()``."""
+    stack = [c for c in reversed(doc.children) if isinstance(c, Element)]
+    while stack:
+        el = stack.pop()
+        yield el
+        stack.extend(c for c in reversed(el.children) if isinstance(c, Element))
+
+
+def subtree_text(el: Element) -> str:
+    """All descendant strings concatenated in document order (bs4 ``.text``)."""
+    parts: list[str] = []
+    stack: list[Element | str] = [el]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):
+            parts.append(node)
+        else:
+            stack.extend(reversed(node.children))
+    return "".join(parts)
+
+
+def extract_node_sequence(html: str) -> list[tuple[int, str, str, bool, bool]]:
+    """HTML -> ordered model node sequence.
+
+    Returns ``[(node_id, text, tag, is_textnode, has_text), ...]`` in
+    document order, where
+
+    - text nodes (instrumented span, parent != noscript) are included iff
+      their stripped text is non-empty;
+    - ``ol``/``dl``/``table`` containers are always included
+      (``has_text=False`` marks empty containers, which occupy a chunk
+      slot but are absent from the nodes table — reference quirk, see
+      module docstring);
+    - ``text`` is stripped with ``STRIP_CHARS``; container text is the
+      full (stripped) subtree text, duplicating descendant text-node
+      text exactly as the reference's ``.text`` does.
+    """
+    doc = parse_html(html)
+    if instrument(doc) == 0:
+        return []
+    out: list[tuple[int, str, str, bool, bool]] = []
+    for el in iter_elements(doc):
+        if el.node_id is None:
+            continue
+        if el.instrument and el.parent is not None and el.parent.tag != "noscript":
+            text = subtree_text(el).strip(STRIP_CHARS)
+            if text:
+                out.append((el.node_id, text, "#text", True, True))
+        elif el.tag in CONTAINER_TAGS:
+            text = subtree_text(el).strip(STRIP_CHARS)
+            out.append((el.node_id, text, el.tag, False, len(text) > 0))
+    return out
+
+
+def chunk_sequence(n_nodes: int, chunk_size: int = 384) -> list[tuple[int, int]]:
+    """Chunk boundaries ``[(start, end), ...]`` over the node sequence.
+
+    Mirrors ``_chunk_nodes`` (/root/reference/src/warc/build.py:25-35):
+    fixed-size contiguous chunks of ``chunk_size`` sequence positions.
+    """
+    return [(i, min(i + chunk_size, n_nodes)) for i in range(0, n_nodes, chunk_size)]

@@ -1,0 +1,60 @@
+"""Per-url page-text assembly: predicted nodes -> extracted_text.
+
+Reference semantics (``/root/reference/src/warc/get_text.py:36-43``):
+join predictions with the TextNodes sidecar, sort by TextNodeId
+**descending**, ``groupby(Url).agg(''.join)`` — the final page text is
+the kept node texts concatenated in descending node-id order with no
+separator. In our DAG node text rides along with the prediction, so the
+join disappears and only the per-url grouping remains.
+
+Scale design: the groupby key is a salted hash bucket
+(``crc32(url) % num_buckets``), not the raw url — ``map_groups`` then
+receives ONE large batch per bucket instead of one tiny batch per url,
+and the per-url work inside the bucket is a vectorized pandas
+sort + groupby-agg. This keeps the only mandatory all-to-all exchange
+in the pipeline at a controlled fan-in, independent of url cardinality.
+Every url appears in the output (sentinel rows guarantee >=1 row/url),
+with ``extracted_text=""`` when nothing was kept.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    urls = batch.column("url").to_pylist()
+    b = np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) % num_buckets for u in urls),
+        dtype=np.int32,
+        count=len(urls),
+    )
+    return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+
+def assemble_page_text(node_ids: list[int], texts: list[str]) -> str:
+    """Pure per-url assembly: descending node-id order, no separator."""
+    order = sorted(range(len(node_ids)), key=lambda i: node_ids[i], reverse=True)
+    return "".join(texts[i] for i in order)
+
+
+def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash bucket of predictions (+ sentinels) -> one row per url."""
+    real = df[df["node_id"] >= 0]
+    if len(real):
+        real = real.sort_values(["url", "node_id"], ascending=[True, False], kind="mergesort")
+        agg = real.groupby("url", sort=False).agg(
+            extracted_text=("text", "".join),
+            n_kept=("node_id", "size"),
+        )
+    else:
+        agg = pd.DataFrame(columns=["extracted_text", "n_kept"])
+    all_urls = pd.Index(df["url"].unique(), name="url")
+    out = agg.reindex(all_urls)
+    out["extracted_text"] = out["extracted_text"].astype(object).fillna("")
+    out["n_kept"] = out["n_kept"].astype("float64").fillna(0).astype(np.int32)
+    return out.reset_index()

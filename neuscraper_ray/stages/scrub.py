@@ -1,0 +1,59 @@
+"""PII / toxicity scrubbing (regex-based, deterministic).
+
+Precompiled module-level patterns (compiled once per worker process at
+import); replacement order is fixed (email, ssn, phone, credit-card,
+ipv4) so overlapping matches resolve deterministically in both the Ray
+stage and the oracle. Toxicity is a word-list flag: any hit drops the
+document (reason "toxicity") and hits are masked in ``scrubbed_text``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# order matters: SSN before phone before credit-card (overlap resolution)
+PII_PATTERNS: list[tuple[str, re.Pattern, str]] = [
+    (
+        "email",
+        re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+        "<EMAIL>",
+    ),
+    ("ssn", re.compile(r"\b\d{3}-\d{2}-\d{4}\b"), "<SSN>"),
+    (
+        "phone",
+        re.compile(r"(?:\(\d{3}\)\s?|\b\d{3}[-.\s])\d{3}[-.\s]\d{4}\b"),
+        "<PHONE>",
+    ),
+    (
+        "credit_card",
+        re.compile(r"\b(?:\d[ -]?){12,15}\d\b"),
+        "<CC>",
+    ),
+    ("ipv4", re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), "<IP>"),
+]
+
+TOXIC_LEXICON = frozenset({"badword1", "badword2", "slurword", "vileword"})
+_TOXIC_RE = re.compile(
+    r"\b(" + "|".join(sorted(TOXIC_LEXICON)) + r")\b", re.IGNORECASE
+)
+
+
+def scrub_text(text: str) -> tuple[str, int, int]:
+    """-> (scrubbed_text, pii_count, toxic_count). Pure, deterministic."""
+    pii = 0
+    for _name, pat, repl in PII_PATTERNS:
+        text, n = pat.subn(repl, text)
+        pii += n
+    text, tox = _TOXIC_RE.subn("<TOX>", text)
+    return text, pii, tox
+
+
+def scrub_batch(df: pd.DataFrame, column: str = "extracted_text") -> pd.DataFrame:
+    res = [scrub_text(t) for t in df[column].tolist()]
+    df["scrubbed_text"] = [r[0] for r in res]
+    df["pii_count"] = np.asarray([r[1] for r in res], dtype=np.int32)
+    df["toxic_count"] = np.asarray([r[2] for r in res], dtype=np.int32)
+    return df

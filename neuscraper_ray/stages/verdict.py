@@ -1,0 +1,51 @@
+"""Final keep/drop decision combining every filter stage's evidence.
+
+Deterministic drop_reason priority (first match wins):
+  empty -> lang -> ppl -> heuristic:<rule> -> toxicity
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from neuscraper_ray.stages.perplexity import PPL_THRESHOLD
+
+KEEP_LANG = "en"  # reference gate: /root/reference/src/warc/build.py:139-140
+
+
+def decide(
+    extracted_text: str,
+    lang_pred: str,
+    ppl: float,
+    quality_flags: list[str],
+    toxic_count: int,
+    ppl_threshold: float = PPL_THRESHOLD,
+) -> tuple[bool, str]:
+    """-> (keep, drop_reason). Pure, deterministic."""
+    if not extracted_text:
+        return False, "empty"
+    if lang_pred != KEEP_LANG:
+        return False, "lang"
+    if ppl > ppl_threshold:
+        return False, "ppl"
+    if quality_flags:
+        return False, "heuristic:" + quality_flags[0]
+    if toxic_count > 0:
+        return False, "toxicity"
+    return True, ""
+
+
+def verdict_batch(df: pd.DataFrame, ppl_threshold: float = PPL_THRESHOLD) -> pd.DataFrame:
+    decisions = [
+        decide(t, lp, p, qf, tc, ppl_threshold)
+        for t, lp, p, qf, tc in zip(
+            df["extracted_text"].tolist(),
+            df["lang_pred"].tolist(),
+            df["ppl"].tolist(),
+            df["quality_flags"].tolist(),
+            df["toxic_count"].tolist(),
+        )
+    ]
+    df["keep"] = [d[0] for d in decisions]
+    df["drop_reason"] = [d[1] for d in decisions]
+    return df

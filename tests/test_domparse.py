@@ -1,0 +1,106 @@
+"""Unit tests for the DOM layer (reference semantics: stack-order ids,
+span-text skip, noscript exclusion, ol/dl/table container rule, strip)."""
+
+from neuscraper_ray.domparse import (
+    STRIP_CHARS,
+    extract_node_sequence,
+    instrument,
+    iter_elements,
+    parse_html,
+    subtree_text,
+)
+
+
+def _ids(html):
+    doc = parse_html(html)
+    instrument(doc)
+    return {el.tag: el.node_id for el in iter_elements(doc)}
+
+
+def test_stack_order_reverses_siblings():
+    # reference pops a LIFO stack => last sibling's subtree numbered first
+    html = "<html><a></a><b><c></c></b></html>"
+    doc = parse_html(html)
+    instrument(doc)
+    els = {el.tag: el.node_id for el in iter_elements(doc)}
+    assert els["html"] == 0
+    assert els["b"] == 1  # last child popped first
+    assert els["c"] == 2
+    assert els["a"] == 3
+
+
+def test_text_wrapped_in_instrument_span():
+    doc = parse_html("<div>hello</div>")
+    instrument(doc)
+    els = list(iter_elements(doc))
+    assert [e.tag for e in els] == ["div", "span"]
+    assert els[1].instrument and els[1].node_id == 1
+    assert subtree_text(els[1]) == "hello"
+
+
+def test_span_text_never_wrapped():
+    # reference: `if node.name == "span" and isinstance(child, str): continue`
+    seq = extract_node_sequence("<html><span>orphan text</span></html>")
+    assert seq == []  # the span's text never becomes a text node
+
+
+def test_noscript_text_excluded():
+    seq = extract_node_sequence(
+        "<html><noscript>enable js</noscript><div>real</div></html>"
+    )
+    texts = [t for _, t, _, _, _ in seq]
+    assert texts == ["real"]
+
+
+def test_container_emitted_even_when_empty():
+    seq = extract_node_sequence("<html><table></table><div>x</div></html>")
+    by_tag = {tag: (text, has) for _, text, tag, _, has in seq}
+    assert by_tag["table"] == ("", False)
+    assert by_tag["#text"] == ("x", True)
+
+
+def test_container_text_duplicates_descendants():
+    seq = extract_node_sequence("<html><table><tr><td>a</td><td>b</td></tr></table></html>")
+    tags = [tag for _, _, tag, _, _ in seq]
+    texts = [t for _, t, _, _, _ in seq]
+    assert tags[0] == "table" and texts[0] == "ab"
+    assert set(texts[1:]) == {"a", "b"}
+
+
+def test_strip_chars_and_empty_dropped():
+    seq = extract_node_sequence("<html><p>\xa0 \t\r\n</p><p>\xa0 hi \t</p></html>")
+    assert [t for _, t, _, _, _ in seq] == ["hi"]
+
+
+def test_only_first_toplevel_fragment_numbered():
+    # reference instruments soup.find_all()[0] only
+    seq = extract_node_sequence("<div>first</div><div>second</div>")
+    assert [t for _, t, _, _, _ in seq] == ["first"]
+
+
+def test_node_zero_is_root():
+    doc = parse_html("<html><body>t</body></html>")
+    n = instrument(doc)
+    assert n == 3  # html, body, wrapper span
+    els = list(iter_elements(doc))
+    assert els[0].tag == "html" and els[0].node_id == 0
+
+
+def test_document_order_emission_with_stack_ids():
+    # two paragraphs: doc order p1 then p2, but p2 subtree has smaller ids? No:
+    # stack numbering gives LAST sibling the lower id; emission stays doc order.
+    seq = extract_node_sequence("<html><p>one</p><p>two</p></html>")
+    texts = [t for _, t, _, _, _ in seq]
+    ids = [i for i, _, _, _, _ in seq]
+    assert texts == ["one", "two"]
+    assert ids[0] > ids[1]  # first-in-document got the higher id
+
+
+def test_void_elements_do_not_nest():
+    seq = extract_node_sequence("<html><p>a<br>b</p></html>")
+    texts = [t for _, t, _, _, _ in seq]
+    assert texts == ["a", "b"]
+
+
+def test_strip_constant_matches_reference():
+    assert STRIP_CHARS == "\r\n\t\xa0 "
