@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``: flagship curation pipeline over the deterministic
+  synthetic pages table derived from sf0.001 scale.
+- ``queries()``: one entry per implemented operator/pipeline from
+  SURVEY.md §2 (plus the scale extensions: dedup family, ANN, text
+  analysis).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  query; model-based / approximate ops (langid, minhash, simhash, LSH
+  ANN, the curation pipeline itself) are rows-only by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in ``neuscraper_ray``) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +20,121 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on synthetic pages at sf0.001 scale."""
+    import ray.data
+
+    from neuscraper_ray.pipelines.curate import CurateConfig, curate
+    from neuscraper_ray.queries import _pages_dir_for
+
+    pages = ray.data.read_parquet(_pages_dir_for("/root/testdata/sf0.001"))
+    out = curate(pages, CurateConfig())
+    df = out.to_pandas().sort_values("url").reset_index(drop=True)
+    df["quality_flags"] = df["quality_flags"].map(
+        lambda fl: ",".join(list(fl)) if fl is not None else ""
+    )
+    return df
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from neuscraper_ray.queries import ALL_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(ALL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "docs_token_count": (
+            "SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "docs_content_hash": (
+            "SELECT doc_id, md5(text) AS content_hash FROM documents"
+        ),
+        "docs_exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "docs_lang_stats": (
+            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "(sum(n_chars) * 100) // count(*) AS avg_chars_e2 "
+            "FROM documents GROUP BY lang"
+        ),
+        "docs_word_stats": (
+            "SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_words, "
+            "len(list_distinct(list_transform(str_split(text, ' '), x -> lower(x))))::BIGINT AS n_distinct_words, "
+            "(list_sum(list_transform(str_split(text, ' '), x -> len(x))) * 10000) // len(str_split(text, ' ')) AS mean_word_len_e4 "
+            "FROM documents"
+        ),
+        "docs_length_filter": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE n_chars BETWEEN 150 AND 350"
+        ),
+        "events_type_agg": (
+            "SELECT event_type, count(*)::BIGINT AS n_events, "
+            "round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events, "
+            "round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY date_trunc('hour', ts)"
+        ),
+        "events_user_sessions": (
+            "WITH x AS ("
+            "  SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "  THEN 1 ELSE 0 END AS s FROM events) "
+            "SELECT user_id, sum(s)::BIGINT AS n_sessions FROM x GROUP BY user_id"
+        ),
+        "events_distinct_types": "SELECT DISTINCT event_type FROM events",
+        "events_top_users": (
+            "SELECT user_id, round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY user_id "
+            "ORDER BY sum(value) DESC, user_id LIMIT 10"
+        ),
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*)::BIGINT AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "segment_order_value": (
+            "SELECT c_mktsegment, count(*)::BIGINT AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_value "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "customers_no_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate < TIMESTAMP '1995-12-01')"
+        ),
+        "order_line_concat": (
+            "SELECT l_orderkey, "
+            "string_agg(l_returnflag, '' ORDER BY l_linenumber DESC, l_returnflag) AS flags "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "lineitem_global_metrics": (
+            "SELECT count(*)::BIGINT AS n_rows, "
+            "round(sum(l_quantity), 2) AS total_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+            "FROM lineitem"
+        ),
+        "ann_topk": (
+            "SELECT e.vec_id FROM embeddings e WHERE e.vec_id != 0 "
+            "ORDER BY list_cosine_similarity(e.embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id "
+            "LIMIT 10"
+        ),
+        "embedding_near_pairs": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"
+        ),
+        # rows-only (model-based / approximate / non-SQL): docs_langid,
+        # docs_minhash_clusters, docs_simhash_pairs, docs_fingerprint,
+        # ann_topk_lsh, curate_labels, curate_drop_reasons
+    }

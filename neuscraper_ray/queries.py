@@ -1,0 +1,529 @@
+"""Driver-contract query implementations (see ``__ray_entry__``).
+
+Each function takes ``sf_dir`` (a ``/root/testdata/sf*`` directory) and
+returns a Dataset / pandas DataFrame / pyarrow Table whose row set,
+schema and values match the DuckDB oracle SQL in
+``__ray_entry__.oracle_sql`` (column names included — aggregates are
+aliased identically on both sides; floats are rounded identically).
+
+Ray-Data-first patterns on display (mapping to SURVEY.md §2):
+- column pruning at the read (every ``read_parquet`` passes columns);
+- partial (map-side) aggregation before every groupby shuffle;
+- broadcast joins via ``ray.put`` for dimension tables (J1) and
+  key-set anti joins (J2);
+- the url-hash-bucketed groupby-concat assembly pattern (G1);
+- streaming-shaped sessionization as a per-key ``map_groups`` (§2.10).
+
+None of these call ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+# --------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _preagg_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    count_alias: str | None = None,
+) -> ray.data.Dataset:
+    """Map-side partial aggregation: one row per key per batch, then a
+    small groupby over the partials — the shuffle moves O(groups x
+    batches) rows instead of the full table."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, as_index=False)[sum_cols].sum()
+        if count_alias:
+            cnt = df.groupby(keys, sort=False).size().reset_index(name=count_alias)
+            g = g.merge(cnt, on=keys)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    if count_alias:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+# ------------------------------------------------------------- documents
+
+
+def docs_token_count(sf_dir: str):
+    from neuscraper_ray.functions.textstats import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+def docs_content_hash(sf_dir: str):
+    from neuscraper_ray.functions.textstats import content_hash_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(content_hash_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "content_hash"]
+    )
+
+
+def docs_exact_dedup(sf_dir: str):
+    from neuscraper_ray.functions.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, id_col="doc_id", text_col="text")
+
+
+def docs_lang_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    # fixed-point mean: exact integer arithmetic matches SQL bit-for-bit
+    df["avg_chars_e2"] = (df["sum_chars"].astype("int64") * 100) // df["n_docs"]
+    return df[["lang", "n_docs", "avg_chars_e2"]]
+
+
+def docs_word_stats(sf_dir: str):
+    from neuscraper_ray.functions.textstats import word_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(word_stats_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_words", "n_distinct_words", "mean_word_len_e4"]
+    )
+
+
+def docs_length_filter(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["n_chars"], 150), pc.less_equal(t["n_chars"], 350)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def docs_langid(sf_dir: str):
+    """Language-ID over document text (non-SQL: model-based, rows-only)."""
+    from neuscraper_ray.stages.langid import langid_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: langid_batch(df, column="text"), batch_format="pandas"
+    ).select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
+def docs_minhash_clusters(sf_dir: str):
+    """MinHash-LSH near-dup clusters (approximate, rows-only check)."""
+    from neuscraper_ray.functions.dedup import near_dup_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return near_dup_clusters(ds)
+
+
+def docs_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs, Hamming <= 3 (approximate, rows-only)."""
+    from neuscraper_ray.functions.dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup_pairs(ds)
+
+
+def docs_fingerprint(sf_dir: str):
+    """Rolling-hash fingerprint per document (rows-only)."""
+    from neuscraper_ray.functions.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+# ---------------------------------------------------------------- events
+
+
+def events_type_agg(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    agg = _preagg_sum(ds, ["event_type"], ["value"], count_alias="n_events")
+    df = agg.to_pandas().rename(columns={"value": "total_value"})
+    df["total_value"] = df["total_value"].round(2)
+    df["n_events"] = df["n_events"].astype("int64")
+    return df[["event_type", "n_events", "total_value"]]
+
+
+def events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df["ts"].dt.floor("h")
+        return df[["hour", "value"]]
+
+    hours = ds.map_batches(add_hour, batch_format="pandas")
+    agg = _preagg_sum(hours, ["hour"], ["value"], count_alias="n_events")
+    df = agg.to_pandas().rename(columns={"value": "total_value"})
+    df["total_value"] = df["total_value"].round(2)
+    df["n_events"] = df["n_events"].astype("int64")
+    return df[["hour", "n_events", "total_value"]]
+
+
+def events_user_sessions(sf_dir: str):
+    """Sessionization: a new session starts after a >30-minute gap.
+
+    Streaming-shaped operator (SURVEY §2.10): per-user ordered scan,
+    expressed as groupby(user).map_groups over ts-sorted groups. At
+    10^12 scale the key would be bucketed (hash(user) % B) with the
+    same in-bucket pandas body.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["user_id"] % 64).astype(np.int32)
+        return df
+
+    def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all events of every user in this bucket: vectorized per-user scan
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["ts"].shift()
+        new_s = prev.isna() | ((df["ts"] - prev) > pd.Timedelta(minutes=30))
+        out = (
+            new_s.groupby(df["user_id"], sort=False)
+            .sum()
+            .rename("n_sessions")
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(
+        sessions_bucket, batch_format="pandas"
+    )
+
+
+def events_distinct_types(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+def events_top_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = _preagg_sum(ds, ["user_id"], ["value"])
+    top = (
+        agg.sort(["value", "user_id"], descending=[True, False]).limit(10).to_pandas()
+    )
+    top["total_value"] = top["value"].round(2)
+    top["user_id"] = top["user_id"].astype("int64")
+    return top[["user_id", "total_value"]]
+
+
+# ----------------------------------------------------------- tpch-style
+
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H-Q1-style pricing summary (filter -> partial agg -> groupby)."""
+    import pyarrow.compute as pc
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    cutoff = pa.scalar(pd.Timestamp(Q1_CUTOFF), pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    agg = _preagg_sum(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice", "disc_price"],
+        count_alias="count_order",
+    )
+    df = agg.to_pandas().rename(
+        columns={
+            "l_quantity": "sum_qty",
+            "l_extendedprice": "sum_base_price",
+            "disc_price": "sum_disc_price",
+        }
+    )
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+        df[c] = df[c].round(2)
+    df["count_order"] = df["count_order"].astype("int64")
+    return df[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order"]
+    ]
+
+
+def segment_order_value(sf_dir: str):
+    """orders x customer broadcast hash join (J1) -> per-segment totals.
+
+    customer is the small side: shipped once via ray.put, looked up per
+    batch with a pandas map — no shuffle join.
+    """
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        df["c_mktsegment"] = df["o_custkey"].map(lookup)
+        return df[["c_mktsegment", "o_totalprice"]]
+
+    joined = orders.map_batches(join_batch, batch_format="pandas")
+    agg = _preagg_sum(joined, ["c_mktsegment"], ["o_totalprice"], count_alias="n_orders")
+    df = agg.to_pandas().rename(columns={"o_totalprice": "total_value"})
+    df["total_value"] = df["total_value"].round(2)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df[["c_mktsegment", "n_orders", "total_value"]]
+
+
+ANTI_JOIN_CUTOFF = "1995-12-01"
+
+
+def customers_no_orders(sf_dir: str):
+    """Anti join (J2): customers with no orders before the cutoff, via a
+    broadcast key set built with predicate pushdown at the read.
+
+    The distinct o_custkey set is bounded by customer cardinality, so it
+    broadcasts; at larger dimension sizes swap in a Bloom filter."""
+    import pyarrow.compute as pc
+
+    early = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderdate") < pd.Timestamp(ANTI_JOIN_CUTOFF),
+    )
+    keys = set(early.unique("o_custkey"))
+    keys_ref = ray.put(keys)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(keys_ref)
+        return df[~df["c_custkey"].isin(k)]
+
+    return cust.map_batches(anti, batch_format="pandas")
+
+
+def order_line_concat(sf_dir: str):
+    """G1 mirror: per-order return-flag string, descending line number,
+    no separator — the reference's groupby-concat assembly
+    (/root/reference/src/warc/get_text.py:36-37) over TPC-H shapes,
+    using the same hash-bucketed map_groups pattern as page assembly."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["l_orderkey"] % 64).astype(np.int32)
+        return df
+
+    def concat_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # l_linenumber repeats within an order: tiebreak on the value
+        # itself so the concat is deterministic on both engines
+        df = df.sort_values(
+            ["l_orderkey", "l_linenumber", "l_returnflag"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = (
+            df.groupby("l_orderkey", sort=False)["l_returnflag"]
+            .agg("".join)
+            .rename("flags")
+            .reset_index()
+        )
+        return out
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(concat_bucket, batch_format="pandas")
+
+
+def lineitem_global_metrics(sf_dir: str):
+    """G3 mirror: global counters via partial + final aggregation."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "n_rows": pa.array([len(t)], pa.int64()),
+                "total_qty": pa.array([pc.sum(t["l_quantity"]).as_py() or 0.0]),
+                "total_revenue": pa.array([pc.sum(disc).as_py() or 0.0]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    row = partials.aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("total_qty", alias_name="total_qty"),
+        Sum("total_revenue", alias_name="total_revenue"),
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_rows": int(row["n_rows"]),
+                "total_qty": round(row["total_qty"], 2),
+                "total_revenue": round(row["total_revenue"], 2),
+            }
+        ]
+    )
+
+
+# ------------------------------------------------------------ embeddings
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 around vec_id 0 (exact; float64)."""
+    from neuscraper_ray.functions.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(lambda r: r["vec_id"] == 0).to_pandas()
+    query = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
+    rest = ds.filter(lambda r: r["vec_id"] != 0)
+    top = brute_force_topk(rest, query, k=10)
+    return top[["vec_id"]].astype("int64")
+
+
+def ann_topk_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-10 (scale path; rows-only check)."""
+    from neuscraper_ray.functions.ann import lsh_topk
+
+    qdf = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(lambda r: r["vec_id"] == 0).to_pandas()
+    query = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        lambda r: r["vec_id"] != 0
+    )
+    top = lsh_topk(ds, query, k=10)
+    return top[["vec_id", "cosine"]]
+
+
+def embedding_near_pairs(sf_dir: str):
+    """Exact all-pairs cosine >= 0.3 (embedding near-dup detector)."""
+    from neuscraper_ray.functions.ann import pairwise_cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = pairwise_cosine_pairs(ds, threshold=0.3).to_pandas()
+    pairs = pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pairs[["id_a", "id_b"]].astype("int64")
+
+
+# ---------------------------------------------------------- curation
+
+
+def _pages_dir_for(sf_dir: str) -> str:
+    """Deterministic synthetic pages cache for a testdata scale."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from neuscraper_ray.synth import write_pages
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_pages = n_docs * 2
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/neuscraper_pages_{tag}_{n_pages}"
+    # >=128 files so every parallelism level is scheduler-bound, not
+    # partition-bound (BASELINE.md scaling criterion)
+    write_pages(out, n_pages, rows_per_file=max(64, n_pages // 128))
+    return out
+
+
+def curate_labels(sf_dir: str):
+    """Flagship pipeline over the synthetic pages table (rows-only)."""
+    from neuscraper_ray.pipelines.curate import CurateConfig, curate
+
+    pages = ray.data.read_parquet(_pages_dir_for(sf_dir))
+    out = curate(pages, CurateConfig())
+    df = out.to_pandas().sort_values("url").reset_index(drop=True)
+    df["quality_flags"] = df["quality_flags"].map(
+        lambda fl: ",".join(list(fl)) if fl is not None else ""
+    )
+    return df[
+        ["url", "extracted_text", "keep", "drop_reason", "scrubbed_text", "lang_pred", "ppl", "n_kept"]
+    ]
+
+
+def curate_drop_reasons(sf_dir: str):
+    """Drop-reason histogram of the flagship pipeline (rows-only)."""
+    from neuscraper_ray.pipelines.curate import CurateConfig, curate
+
+    pages = ray.data.read_parquet(_pages_dir_for(sf_dir))
+    out = curate(pages, CurateConfig())
+    agg = out.groupby("drop_reason").aggregate(Count(alias_name="n_docs"))
+    df = agg.to_pandas().sort_values("drop_reason").reset_index(drop=True)
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
+ALL_QUERIES = {
+    "docs_token_count": docs_token_count,
+    "docs_content_hash": docs_content_hash,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_lang_stats": docs_lang_stats,
+    "docs_word_stats": docs_word_stats,
+    "docs_length_filter": docs_length_filter,
+    "docs_langid": docs_langid,
+    "docs_minhash_clusters": docs_minhash_clusters,
+    "docs_simhash_pairs": docs_simhash_pairs,
+    "docs_fingerprint": docs_fingerprint,
+    "events_type_agg": events_type_agg,
+    "events_hourly": events_hourly,
+    "events_user_sessions": events_user_sessions,
+    "events_distinct_types": events_distinct_types,
+    "events_top_users": events_top_users,
+    "q1_pricing": q1_pricing,
+    "segment_order_value": segment_order_value,
+    "customers_no_orders": customers_no_orders,
+    "order_line_concat": order_line_concat,
+    "lineitem_global_metrics": lineitem_global_metrics,
+    "ann_topk": ann_topk,
+    "ann_topk_lsh": ann_topk_lsh,
+    "embedding_near_pairs": embedding_near_pairs,
+    "curate_labels": curate_labels,
+    "curate_drop_reasons": curate_drop_reasons,
+}

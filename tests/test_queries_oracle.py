@@ -1,0 +1,64 @@
+"""Driver-contract conformance: every queries() entry with an
+oracle_sql() entry must match DuckDB exactly (row count, schema, values)
+at sf0.01 — the same comparison the grading driver performs."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+SQL_QUERIES = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(name, con):
+    q = entry_mod.queries()[name]
+    result = q(SF_DIR)
+    if hasattr(result, "to_pandas"):
+        result = result.to_pandas()
+    expected = con.execute(entry_mod.oracle_sql()[name]).df()
+    got, want = _normalize(result), _normalize(expected)
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(SQL_QUERIES) - {"curate_labels", "curate_drop_reasons"})
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name):
+    q = entry_mod.queries()[name]
+    result = q(SF_DIR)
+    if hasattr(result, "to_pandas"):
+        result = result.to_pandas()
+    assert result is not None and len(result.columns) > 0
