@@ -26,22 +26,21 @@ import ray.data
 
 from neuscraper_ray.stages.assemble import add_bucket, assemble_bucket
 from neuscraper_ray.stages.extract import extract_nodes_batch
-from neuscraper_ray.stages.heuristics import heuristics_batch
-from neuscraper_ray.stages.langid import langid_batch
-from neuscraper_ray.stages.perplexity import PerplexityScorer
 from neuscraper_ray.stages.scorer import NodeScorer
-from neuscraper_ray.stages.scrub import scrub_batch
-from neuscraper_ray.stages.verdict import verdict_batch
 
 
 @dataclass
 class CurateConfig:
-    parse_batch_size: int = 64        # html is wide (large_binary) -> small batches
-    score_batch_size: int = 4096      # node rows are narrow
+    parse_batch_size: int = 32        # PAGES per extract+score task (html is wide)
+    score_batch_size: int = 4096      # node rows per scorer batch (actor path)
     scorer_actors: int | tuple = (2, 8)
     ppl_actors: int | tuple = (1, 4)
     num_buckets: int = 64             # assembly shuffle fan-in (>= cluster cores)
-    filter_batch_size: int = 1024
+    filter_batch_size: int = 256      # assembled docs per filter task
+    fused_scorer: bool = True         # explicit extract+score fusion (see
+    # stages.scorer.extract_score_batch); set False to run the scorer as
+    # a separate actor pool — the right shape when the node model needs
+    # per-worker state (GPU weights); batch granularity is then node rows
 
 
 def extract_nodes(pages: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray.data.Dataset:
@@ -65,40 +64,65 @@ def score_nodes(nodes: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray
     )
 
 
-def assemble_pages(preds: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray.data.Dataset:
-    """predictions -> one row per url with extracted_text."""
+def assemble_pages(
+    preds: ray.data.Dataset, cfg: CurateConfig | None = None, has_bucket: bool = False
+) -> ray.data.Dataset:
+    """predictions -> one row per url with extracted_text.
+
+    ``has_bucket=True`` when upstream already attached the url-hash
+    bucket column (the fused extract+score path does). batch_size=None
+    everywhere: operate on incoming blocks as-is — a row-count batch
+    size would make Ray bundle upstream page-granular tasks into giant
+    fused tasks, collapsing parallelism.
+    """
     cfg = cfg or CurateConfig()
-    bucketed = preds.map_batches(
-        lambda t: add_bucket(t, cfg.num_buckets),
-        batch_format="pyarrow",
-        batch_size=cfg.score_batch_size,
-    )
-    return bucketed.groupby("bucket").map_groups(
+    if not has_bucket:
+        preds = preds.map_batches(
+            lambda t: add_bucket(t, cfg.num_buckets),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    return preds.groupby("bucket").map_groups(
         assemble_bucket, batch_format="pandas"
     )
 
 
 def filter_chain(docs: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray.data.Dataset:
-    """assembled docs -> +lang_pred +ppl +quality_flags +scrub +keep."""
+    """assembled docs -> +lang_pred +ppl +quality_flags +scrub +keep.
+
+    Hand-fused into ONE stateless operator (see
+    ``stages.verdict.filters_fused_batch``): the five filter fns are
+    cheap per row, so separate operators would only add executor
+    startup/queue cost. The LM table is broadcast once per driver
+    (``ray.put`` cached) and fetched zero-copy per worker.
+    """
     cfg = cfg or CurateConfig()
-    b = cfg.filter_batch_size
-    docs = docs.map_batches(langid_batch, batch_format="pandas", batch_size=b)
-    docs = docs.map_batches(
-        PerplexityScorer,
+    from neuscraper_ray.stages.perplexity import get_table_ref
+    from neuscraper_ray.stages.verdict import filters_fused_batch
+
+    return docs.map_batches(
+        filters_fused_batch,
         batch_format="pandas",
-        batch_size=b,
-        concurrency=cfg.ppl_actors,
+        batch_size=None,
+        fn_kwargs={"table_ref": get_table_ref()},
     )
-    docs = docs.map_batches(heuristics_batch, batch_format="pandas", batch_size=b)
-    docs = docs.map_batches(scrub_batch, batch_format="pandas", batch_size=b)
-    docs = docs.map_batches(verdict_batch, batch_format="pandas", batch_size=b)
-    return docs
 
 
 def curate(pages: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray.data.Dataset:
     """Full pipeline. Lazy; caller consumes (write_parquet / iter / agg)."""
     cfg = cfg or CurateConfig()
-    nodes = extract_nodes(pages, cfg)
-    preds = score_nodes(nodes, cfg)
-    docs = assemble_pages(preds, cfg)
+    if cfg.fused_scorer:
+        from neuscraper_ray.stages.scorer import extract_score_batch
+
+        preds = pages.map_batches(
+            extract_score_batch,
+            batch_format="pyarrow",
+            batch_size=cfg.parse_batch_size,
+            fn_kwargs={"num_buckets": cfg.num_buckets},
+        )
+        docs = assemble_pages(preds, cfg, has_bucket=True)
+    else:
+        nodes = extract_nodes(pages, cfg)
+        preds = score_nodes(nodes, cfg)
+        docs = assemble_pages(preds, cfg)
     return filter_chain(docs, cfg)

@@ -1,0 +1,129 @@
+"""Resumable curation job runner (``ray job submit``-able).
+
+Wraps the flagship pipeline with the partition/manifest protocol from
+``neuscraper_ray.state.manifest``: the input shard list is split into
+output partitions; completed partitions (manifest present) are skipped
+on rerun; each partition commit records lineage (input shards) and
+metrics (row counts, keep counts, drop-reason histogram, bytes).
+
+Each partition is itself a fully parallel Ray Data pipeline — at
+10^12-document scale a partition is thousands of input shards, so the
+cluster stays saturated within one partition and the commit points
+bound re-work after a crash to a single partition.
+
+CLI:
+    python -m neuscraper_ray.pipelines.runner \
+        --input /tmp/pages_dir --output /tmp/curated \
+        [--files-per-partition 32] [--num-cpus 32]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import ray
+import ray.data
+
+from neuscraper_ray.pipelines.curate import CurateConfig, curate
+from neuscraper_ray.state.manifest import (
+    PartitionPlan,
+    commit_partition,
+    gc_incomplete,
+    is_complete,
+    plan_partitions,
+)
+
+
+def _partition_metrics(part_dir: str) -> dict:
+    """Metrics for one committed partition, read from its parquet files."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(part_dir, format="parquet")
+    table = dset.to_table(columns=["keep", "drop_reason", "n_kept"])
+    n = table.num_rows
+    keep = table.column("keep").to_pylist()
+    reasons = table.column("drop_reason").to_pylist()
+    hist: dict[str, int] = {}
+    for r in reasons:
+        key = r if r else "kept"
+        hist[key] = hist.get(key, 0) + 1
+    bytes_out = sum(
+        os.path.getsize(os.path.join(part_dir, f))
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet")
+    )
+    return {
+        "n_docs": n,
+        "n_kept": sum(keep),
+        "drop_reasons": hist,
+        "bytes_out": bytes_out,
+    }
+
+
+def run_partition(plan: PartitionPlan, out_dir: str, cfg: CurateConfig) -> dict:
+    tmp_dir = os.path.join(out_dir, plan.name + ".tmp")
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    pages = ray.data.read_parquet(plan.input_paths)
+    curate(pages, cfg).write_parquet(tmp_dir)
+    metrics = _partition_metrics(tmp_dir)
+    commit_partition(out_dir, plan, tmp_dir, metrics)
+    return metrics
+
+
+def run_resumable(
+    input_paths: list[str],
+    out_dir: str,
+    cfg: CurateConfig | None = None,
+    files_per_partition: int = 32,
+) -> dict:
+    """Run (or resume) the curation job. Returns job-level metrics."""
+    cfg = cfg or CurateConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    removed = gc_incomplete(out_dir)
+    plans = plan_partitions(input_paths, files_per_partition)
+    done = skipped = 0
+    for plan in plans:
+        if is_complete(out_dir, plan):
+            skipped += 1
+            continue
+        run_partition(plan, out_dir, cfg)
+        done += 1
+    from neuscraper_ray.state.manifest import aggregate_metrics
+
+    agg = aggregate_metrics(out_dir)
+    agg.update(
+        {"partitions_run": done, "partitions_skipped": skipped, "gc_removed": removed}
+    )
+    return agg
+
+
+def main() -> None:
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="input pages dir (parquet shards)")
+    p.add_argument("--output", required=True, help="output dir (partitioned parquet)")
+    p.add_argument("--files-per-partition", type=int, default=32)
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    agg = run_resumable(paths, args.output, files_per_partition=args.files_per_partition)
+    print(json.dumps(agg))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

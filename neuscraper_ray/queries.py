@@ -464,7 +464,9 @@ def _pages_dir_for(sf_dir: str) -> str:
     from neuscraper_ray.synth import write_pages
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    n_pages = n_docs * 2
+    # multiplier sized so bench compute (~1.5ms/page/core) dominates the
+    # ~2s serial floor of a local Ray session at 32 cpus
+    n_pages = n_docs * 16
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/neuscraper_pages_{tag}_{n_pages}"
     # >=128 files so every parallelism level is scheduler-bound, not

@@ -72,6 +72,20 @@ def _get_table() -> np.ndarray:
     return _TABLE_CACHE
 
 
+_TABLE_REF = None
+
+
+def get_table_ref():
+    """Driver-side broadcast handle for the LM table (built + put once
+    per driver process, reused by every pipeline built afterwards)."""
+    global _TABLE_REF
+    if _TABLE_REF is None:
+        import ray
+
+        _TABLE_REF = ray.put(_get_table())
+    return _TABLE_REF
+
+
 def perplexity(text: str, table: np.ndarray | None = None) -> float:
     """Per-character trigram perplexity; inf-free, deterministic.
 
@@ -88,14 +102,38 @@ def perplexity(text: str, table: np.ndarray | None = None) -> float:
     return float(np.exp(-lp.mean()))
 
 
+def perplexity_batch(
+    df: pd.DataFrame, column: str = "extracted_text", table_ref=None
+) -> pd.DataFrame:
+    """Stateless task-pool stage. The LM table is broadcast: built ONCE
+    on the driver, ``ray.put`` into the object store, and fetched
+    zero-copy by every worker (``ray.get`` of a shared-memory numpy
+    array — no per-worker rebuild, no per-batch copy). Falls back to a
+    per-process build when no ref is supplied (oracle / unit tests)."""
+    if table_ref is not None:
+        import ray
+
+        t = ray.get(table_ref)
+    else:
+        t = _get_table()
+    df["ppl"] = np.asarray(
+        [perplexity(x, t) for x in df[column].tolist()], dtype=np.float64
+    )
+    return df
+
+
 class PerplexityScorer:
-    """Actor-pool stage: appends ``ppl: float64`` from ``extracted_text``."""
+    """Actor-pool variant of ``perplexity_batch`` — the right shape when
+    the model state is too big for a per-process cache (e.g. a real
+    KenLM binary): loaded once per actor in ``__init__``."""
 
     def __init__(self, column: str = "extracted_text"):
         self.column = column
         self.table = build_logprob_table()  # once per actor
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        t = self.table
-        df["ppl"] = np.asarray([perplexity(x, t) for x in df[self.column].tolist()], dtype=np.float64)
+        df["ppl"] = np.asarray(
+            [perplexity(x, self.table) for x in df[self.column].tolist()],
+            dtype=np.float64,
+        )
         return df

@@ -57,60 +57,77 @@ def _mlp_weights(seed: int = 12345) -> tuple[np.ndarray, np.ndarray, np.ndarray,
 _W1, _B1, _W2, _B2 = _mlp_weights()
 
 
-def _hash_features(texts: list[str]) -> np.ndarray:
-    """Hashed char-trigram bag, L1-normalised, per text (n, 32)."""
-    feats = np.zeros((len(texts), _N_HASH), dtype=np.float64)
-    for i, t in enumerate(texts):
-        b = t[:96].encode("utf-8", "replace")
-        n = len(b)
-        if n < 3:
-            continue
-        row = feats[i]
-        for j in range(n - 2):
-            row[zlib.crc32(b[j : j + 3]) & (_N_HASH - 1)] += 1.0
-        row /= n - 2
-    return feats
+_IS_SYMBOL = np.zeros(256, dtype=np.float64)
+for _o in range(33, 127):
+    if not (48 <= _o <= 57 or 65 <= _o <= 90 or 97 <= _o <= 122):
+        _IS_SYMBOL[_o] = 1.0
+_IS_DIGIT = np.zeros(256, dtype=np.float64)
+_IS_DIGIT[48:58] = 1.0
+_IS_CJKB = np.zeros(256, dtype=np.float64)
+_IS_CJKB[0xE4:0xEA] = 1.0  # utf-8 lead bytes of the CJK unified block
 
 
 def score_texts(texts: list[str]) -> np.ndarray:
-    """Deterministic content score in (0, 1) per text. Pure function."""
+    """Deterministic content score in (0, 1) per text. Pure function.
+
+    All byte-level features are vectorized numpy over the utf-8 head of
+    each node; the hashed-trigram MLP uses a polynomial rolling hash
+    computed with ``np.bincount`` (no per-trigram Python).
+    """
     n = len(texts)
     if n == 0:
         return np.zeros(0, dtype=np.float32)
     n_words = np.empty(n)
     stop_ratio = np.empty(n)
     ends_punct = np.empty(n)
-    digit_ratio = np.empty(n)
-    symbol_ratio = np.empty(n)
-    cjk_ratio = np.empty(n)
     char_len = np.empty(n)
+    heads: list[bytes] = [""] * n  # type: ignore[list-item]
     for i, t in enumerate(texts):
         L = len(t)
         char_len[i] = L
+        heads[i] = t[:256].encode("utf-8", "replace") if L else b""
         if L == 0:
             n_words[i] = stop_ratio[i] = ends_punct[i] = 0.0
-            digit_ratio[i] = symbol_ratio[i] = cjk_ratio[i] = 0.0
             continue
-        words = t.lower().split()
+        words = t[:512].lower().split()
         nw = max(len(words), 1)
-        n_words[i] = nw
-        stop_ratio[i] = sum(1 for w in words if w in _STOPWORDS) / nw
+        n_words[i] = max(len(t.split()), 1) if L > 512 else nw
+        stop_ratio[i] = sum(1 for w in words[:64] if w in _STOPWORDS) / min(nw, 64)
         ends_punct[i] = 1.0 if t[-1] in ".!?" else 0.0
-        head = t[:256]
-        hl = len(head)
-        nd = ns = nc = 0
-        for ch in head:
-            o = ord(ch)
-            if 48 <= o <= 57:
-                nd += 1
-            elif not (ch.isalpha() or ch.isspace()):
-                ns += 1
-            if 0x4E00 <= o <= 0x9FFF:
-                nc += 1
-        digit_ratio[i] = nd / hl
-        symbol_ratio[i] = ns / hl
-        cjk_ratio[i] = nc / hl
-    h = np.maximum(np.tanh(_hash_features(texts) @ _W1 + _B1) @ _W2 + _B2, -1.5)
+
+    # one pass over the concatenated utf-8 heads: segment sums via cumsum
+    lens = np.fromiter((len(h) for h in heads), dtype=np.int64, count=n)
+    big = np.frombuffer(b"".join(heads), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    hl = np.maximum(lens, 1).astype(np.float64)
+
+    def seg_sum(table: np.ndarray) -> np.ndarray:
+        cs = np.concatenate([[0.0], np.cumsum(table[big])]) if len(big) else np.zeros(1)
+        return cs[ends] - cs[starts]
+
+    digit_ratio = seg_sum(_IS_DIGIT) / hl
+    symbol_ratio = seg_sum(_IS_SYMBOL) / hl
+    cjk_ratio = seg_sum(_IS_CJKB) / hl
+
+    # hashed char-trigram bag over the first 96 bytes, batched bincount
+    l96 = np.minimum(lens, 96)
+    e96 = np.cumsum(l96)
+    s96 = e96 - l96
+    keep_mask = np.zeros(len(big), dtype=bool)
+    for i in range(n):  # cheap: builds the sub-view index ranges
+        keep_mask[starts[i] : starts[i] + l96[i]] = True
+    b96 = big[keep_mask].astype(np.int32)
+    hash_feats = np.zeros((n, _N_HASH), dtype=np.float64)
+    if len(b96) >= 3:
+        tri = ((b96[:-2] * 131 + b96[1:-1]) * 131 + b96[2:]) & (_N_HASH - 1)
+        node_of = np.repeat(np.arange(n), l96)
+        valid = node_of[:-2] == node_of[2:]
+        idx = node_of[:-2][valid] * _N_HASH + tri[valid]
+        counts = np.bincount(idx, minlength=n * _N_HASH).reshape(n, _N_HASH)
+        denom = np.maximum(l96 - 2, 1).astype(np.float64)
+        hash_feats = counts / denom[:, None]
+    h = np.maximum(np.tanh(hash_feats @ _W1 + _B1) @ _W2 + _B2, -1.5)
     logit = (
         -2.5
         + 0.8 * np.log1p(n_words)
@@ -152,6 +169,53 @@ class NodeScorer:
         )
         out = batch.append_column("score", pa.array(scores, pa.float32()))
         return out.filter(pa.array(keep))
+
+
+def extract_score_batch(
+    batch: pa.Table, threshold: float = THRESHOLD, num_buckets: int | None = None
+) -> pa.Table:
+    """Fused pages -> kept predictions stage (extract + score in one UDF).
+
+    Explicit fusion keeps batch granularity in PAGE units: relying on
+    Ray's automatic operator fusion here would bundle inputs to the
+    scorer's node-row batch size (thousands of pages per task),
+    collapsing parallelism. Node rows never materialize in the object
+    store; only predicted rows (plus one sentinel per page) leave the
+    task — the shuffle then moves the model's acceptance rate, not the
+    whole node table.
+    """
+    from neuscraper_ray.stages.extract import page_to_node_rows
+
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    rows: list[tuple] = []
+    for url, html_bytes in zip(urls, htmls):
+        rows.extend(page_to_node_rows(url, html_bytes))
+    texts = [r[4] for r in rows]
+    scores = score_texts(texts)
+    node_id = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
+    has_text = np.fromiter((r[7] for r in rows), dtype=bool, count=len(rows))
+    sentinel = node_id == -1
+    scores[sentinel] = 0.0
+    keep = sentinel | ((scores > threshold) & (node_id != 0) & has_text)
+    idx = np.nonzero(keep)[0]
+    kept_urls = [rows[i][0] for i in idx]
+    cols = {
+        "url": pa.array(kept_urls, pa.string()),
+        "node_id": pa.array(node_id[idx].astype(np.int32)),
+        "text": pa.array([rows[i][4] for i in idx], pa.large_string()),
+        "score": pa.array(scores[idx], pa.float32()),
+    }
+    if num_buckets is not None:
+        import zlib
+
+        b = np.fromiter(
+            (zlib.crc32(u.encode("utf-8")) % num_buckets for u in kept_urls),
+            dtype=np.int32,
+            count=len(kept_urls),
+        )
+        cols["bucket"] = pa.array(b, pa.int32())
+    return pa.table(cols)
 
 
 def predict_node_ids(texts: list[str], node_ids: list[int], has_text: list[bool], threshold: float = THRESHOLD) -> list[int]:

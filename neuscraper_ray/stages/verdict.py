@@ -35,6 +35,27 @@ def decide(
     return True, ""
 
 
+def filters_fused_batch(
+    df: pd.DataFrame, ppl_threshold: float = PPL_THRESHOLD, table_ref=None
+) -> pd.DataFrame:
+    """All five filter stages in one batch fn => ONE Ray operator.
+
+    Identical semantics to chaining langid -> perplexity -> heuristics
+    -> scrub -> verdict_batch; fusing them by hand removes four
+    per-operator startup/queue costs from the streaming executor (they
+    are cheap per-row, so there is no parallelism lost)."""
+    from neuscraper_ray.stages.heuristics import heuristics_batch
+    from neuscraper_ray.stages.langid import langid_batch
+    from neuscraper_ray.stages.perplexity import perplexity_batch
+    from neuscraper_ray.stages.scrub import scrub_batch
+
+    df = langid_batch(df)
+    df = perplexity_batch(df, table_ref=table_ref)
+    df = heuristics_batch(df)
+    df = scrub_batch(df)
+    return verdict_batch(df, ppl_threshold)
+
+
 def verdict_batch(df: pd.DataFrame, ppl_threshold: float = PPL_THRESHOLD) -> pd.DataFrame:
     decisions = [
         decide(t, lp, p, qf, tc, ppl_threshold)

@@ -169,7 +169,8 @@ def _gen_one(i: int, seed: int) -> dict:
     encoding = "utf-8"
 
     if fam == "article":
-        body = _nav(rng) + "<main>" + _article(rng, EN_WORDS, EN_STOP, rng.randint(3, 8)) + "</main>" + _footer(rng)
+        # realistic web-page weight: tens of paragraphs, several KB HTML
+        body = _nav(rng) + "<main>" + _article(rng, EN_WORDS, EN_STOP, rng.randint(10, 30)) + "</main>" + _footer(rng)
         if rng.random() < 0.3:
             body += "<noscript>Please enable JavaScript to view this page.</noscript>"
         if rng.random() < 0.3:
@@ -184,14 +185,17 @@ def _gen_one(i: int, seed: int) -> dict:
         if rng.random() < 0.25:
             # zh page
             lang_claim = "zh"
-            text = "".join(rng.choice(ZH_CHARS) for _ in range(rng.randint(120, 400)))
-            body = f"<main><p>{text}</p></main>"
+            paras = "".join(
+                "<p>" + "".join(rng.choice(ZH_CHARS) for _ in range(rng.randint(120, 400))) + "</p>"
+                for _ in range(rng.randint(2, 6))
+            )
+            body = f"<main>{paras}</main>"
         else:
-            body = _nav(rng) + "<main>" + _article(rng, words, None, rng.randint(3, 6)) + "</main>" + _footer(rng)
+            body = _nav(rng) + "<main>" + _article(rng, words, None, rng.randint(8, 20)) + "</main>" + _footer(rng)
         if rng.random() < 0.2:
             lang_claim = "en"  # claimed lang wrong vs content
     elif fam == "pii":
-        paras = _article(rng, EN_WORDS, EN_STOP, rng.randint(2, 4))
+        paras = _article(rng, EN_WORDS, EN_STOP, rng.randint(8, 16))
         # PII embedded mid-paragraph so the surrounding prose carries the
         # node over the scorer threshold and the scrub stage sees it
         pii = "".join(
@@ -201,7 +205,7 @@ def _gen_one(i: int, seed: int) -> dict:
         )
         body = _nav(rng) + "<main>" + paras + pii + "</main>" + _footer(rng)
     elif fam == "toxic":
-        paras = _article(rng, EN_WORDS, EN_STOP, 2)
+        paras = _article(rng, EN_WORDS, EN_STOP, rng.randint(4, 10))
         tox = f"<p>this site is full of {rng.choice(TOXIC_WORDS)} and {rng.choice(TOXIC_WORDS)} content</p>"
         body = _nav(rng) + "<main>" + paras + tox + "</main>" + _footer(rng)
     elif fam == "lowq":
@@ -218,7 +222,7 @@ def _gen_one(i: int, seed: int) -> dict:
     elif fam == "dup":
         # identical body content across distinct urls (dedup target)
         drng = random.Random((seed << 10) ^ (i % 7))  # 7 shared variants
-        body = "<main>" + _article(drng, EN_WORDS, EN_STOP, 4) + "</main>"
+        body = "<main>" + _article(drng, EN_WORDS, EN_STOP, 12) + "</main>"
         title = "Duplicate Story " + str(i % 7)
     elif fam == "badbytes":
         body = "<main><p>caf\xe9 na\xefve r\xe9sum\xe9 " + _sentence(rng, EN_WORDS) + "</p></main>"
@@ -274,18 +278,40 @@ def write_pages(out_dir: str, n: int, seed: int = 42, rows_per_file: int = 2000)
 
     Sharded so Ray's read produces many blocks (>=128 at bench scale per
     BASELINE.md); each shard is generated independently (row-index keyed
-    RNG), so generation itself parallelises and is restartable.
+    RNG), so generation parallelises over Ray tasks when a session is
+    live (falls back to sequential otherwise) and is restartable —
+    finished shards are skipped.
     """
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    todo = []
     paths = []
     for start in range(0, n, rows_per_file):
         cnt = min(rows_per_file, n - start)
         p = os.path.join(out_dir, f"pages-{start:08d}.parquet")
         if not os.path.exists(p):
-            pq.write_table(gen_pages(cnt, seed=seed, start=start), p)
+            todo.append((p, start, cnt))
         paths.append(p)
+    if not todo:
+        return paths
+
+    import ray
+
+    if ray.is_initialized():
+
+        @ray.remote
+        def _gen_shard(path: str, start: int, cnt: int) -> None:
+            tmp = path + ".tmp"
+            pq.write_table(gen_pages(cnt, seed=seed, start=start), tmp)
+            os.replace(tmp, path)  # atomic: readers never see partials
+
+        ray.get([_gen_shard.remote(p, s, c) for p, s, c in todo])
+    else:
+        for p, s, c in todo:
+            tmp = p + ".tmp"
+            pq.write_table(gen_pages(c, seed=seed, start=s), tmp)
+            os.replace(tmp, p)
     return paths

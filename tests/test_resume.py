@@ -1,0 +1,80 @@
+"""Resume protocol: kill-after-partition-k rerun must skip completed
+partitions and produce byte-identical final output (SURVEY §5 item 4)."""
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from neuscraper_ray.pipelines.curate import CurateConfig
+from neuscraper_ray.pipelines.runner import run_partition, run_resumable
+from neuscraper_ray.state.manifest import (
+    aggregate_metrics,
+    gc_incomplete,
+    load_manifests,
+    plan_partitions,
+)
+from neuscraper_ray.synth import write_pages
+
+N_PAGES = 240
+CFG = CurateConfig(num_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages"))
+    write_pages(d, N_PAGES, rows_per_file=40)  # 6 shards
+    return d
+
+
+def _digest(out_dir):
+    q = f"SELECT md5(string_agg(url || '|' || scrubbed_text || '|' || keep, '' ORDER BY url)) FROM read_parquet('{out_dir}/part-*/[!_]*.parquet')"
+    return duckdb.sql(q).fetchone()[0]
+
+
+def test_full_run_then_resume_noop(pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    paths = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir))
+    agg1 = run_resumable(paths, out, CFG, files_per_partition=2)
+    assert agg1["partitions_run"] == 3 and agg1["n_docs"] == N_PAGES
+    d1 = _digest(out)
+    # rerun: everything skipped, identical output
+    agg2 = run_resumable(paths, out, CFG, files_per_partition=2)
+    assert agg2["partitions_run"] == 0 and agg2["partitions_skipped"] == 3
+    assert _digest(out) == d1
+
+
+def test_crash_mid_job_resumes(pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ref = str(tmp_path / "ref")
+    paths = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir))
+    run_resumable(paths, ref, CFG, files_per_partition=2)  # reference run
+
+    # simulate a crash: run only partition 0, leave partition 1 half-done
+    plans = plan_partitions(paths, 2)
+    os.makedirs(out)
+    run_partition(plans[0], out, CFG)
+    os.makedirs(os.path.join(out, plans[1].name + ".tmp"))  # in-flight junk
+    os.makedirs(os.path.join(out, plans[2].name))  # dir without manifest
+
+    agg = run_resumable(paths, out, CFG, files_per_partition=2)
+    assert agg["partitions_skipped"] == 1 and agg["partitions_run"] == 2
+    assert sorted(agg["gc_removed"]) == [plans[1].name + ".tmp", plans[2].name]
+    assert _digest(out) == _digest(ref)
+
+
+def test_manifest_lineage_and_metrics(pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    paths = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir))
+    run_resumable(paths, out, CFG, files_per_partition=3)
+    ms = load_manifests(out)
+    assert len(ms) == 2
+    covered = [p for m in ms for p in m["input_paths"]]
+    assert sorted(covered) == paths  # lineage covers every input exactly once
+    for m in ms:
+        assert m["metrics"]["n_docs"] > 0
+        assert "drop_reasons" in m["metrics"]
+    agg = aggregate_metrics(out)
+    assert agg["n_docs"] == N_PAGES
+    assert agg["n_kept"] == sum(m["metrics"]["n_kept"] for m in ms)
