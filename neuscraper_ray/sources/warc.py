@@ -143,12 +143,15 @@ def read_warc_member(warc_path: str, offsets: list[int], doc_id: int) -> bytes:
         f.seek(start)
         member = f.read(end - start)
     raw = gzip.decompress(member)
-    # strip header lines up to first blank line
+    # strip header lines up to first blank line; drop the record's
+    # trailing WARC separator (two CRLFs per ISO 28500)
     sep = raw.find(b"\r\n\r\n")
     if sep == -1:
         sep = raw.find(b"\n\n")
-        return raw[sep + 2 :] if sep != -1 else raw
-    return raw[sep + 4 :]
+        body = raw[sep + 2 :] if sep != -1 else raw
+    else:
+        body = raw[sep + 4 :]
+    return body[:-4] if body.endswith(b"\r\n\r\n") else body
 
 
 # ------------------------------- test-support writer ----------------------

@@ -1,0 +1,153 @@
+"""Unit tests: tokenizer (M8), dedup family, ANN, textstats, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from neuscraper_ray.functions.ann import brute_force_topk, lsh_topk, pairwise_cosine_pairs
+from neuscraper_ray.functions.dedup import (
+    minhash_signature,
+    _minhash_params,
+    near_dup_clusters,
+    simhash64,
+    simhash_near_dup_pairs,
+    verify_jaccard_pairs,
+)
+from neuscraper_ray.functions.multimodal import ImageDecoder, decode_images, fake_image, gen_media_table
+from neuscraper_ray.functions.tokenizer import EOS_ID, PAD_ID, HashTokenizer
+
+
+# ------------------------------------------------------------- tokenizer
+
+
+def test_tokenizer_shape_and_determinism():
+    tok = HashTokenizer(max_token_length=50)
+    ids = tok.tokenize_sequence("Hello, world! This is a test.")
+    assert len(ids) == 50
+    assert ids[0] == 0 and EOS_ID in ids
+    assert ids == tok.tokenize_sequence("Hello, world! This is a test.")
+    # pad tail
+    assert ids[-1] == PAD_ID
+    # truncation at 50
+    long_ids = tok.tokenize_sequence("word " * 200)
+    assert len(long_ids) == 50 and long_ids[-1] == EOS_ID
+
+
+def test_tokenizer_model_time_budget():
+    tok = HashTokenizer()
+    ids = tok.tokenize_sequence("one two three four five six seven")
+    m = tok.model_time_ids(ids, budget=5)
+    assert len(m) == 5 and m[-1] == EOS_ID  # 4 + forced EOS (reference quirk)
+    assert tok.mask([1, 5, 1, 9]).tolist() == [0, 1, 0, 1]
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def _docs_ds():
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",  # exact dup
+        "the quick brown fox leaps over the lazy dog again and again",  # near dup
+        "completely different content about ray data pipelines at scale",
+        "another unrelated document mentioning parquet arrow and shuffles",
+    ]
+    return ray.data.from_pandas(pd.DataFrame({"doc_id": range(5), "text": texts}))
+
+
+def test_minhash_signature_jaccard_estimate():
+    a, b = _minhash_params(128)
+    s1 = minhash_signature("the quick brown fox jumps over the lazy dog " * 3, a, b)
+    s2 = minhash_signature("the quick brown fox leaps over the lazy dog " * 3, a, b)
+    s3 = minhash_signature("totally different words here entirely", a, b)
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > 0.3 > sim13
+
+
+def test_near_dup_clusters_finds_dups():
+    out = near_dup_clusters(_docs_ds())
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert lab.get(0) == lab.get(1) == 0  # exact dups cluster to min id
+    assert lab.get(2, 2) in (0, 2)  # near dup may join
+    assert 3 not in lab or lab[3] == 3
+
+
+def test_verify_jaccard():
+    texts = {0: "a b c d e f g h", 1: "a b c d e f g x", 2: "z y x w v u t s"}
+    out = verify_jaccard_pairs([(0, 1), (0, 2)], texts, shingle_k=2, threshold=0.5)
+    assert [(a, b) for a, b, _ in out] == [(0, 1)]
+
+
+def test_simhash_pairs():
+    assert simhash64("the quick brown fox") == simhash64("the quick brown fox")
+    df = simhash_near_dup_pairs(_docs_ds())
+    pairs = set(zip(df["id_a"], df["id_b"]))
+    assert (0, 1) in pairs  # exact dups at hamming 0
+    assert all(h <= 3 for h in df["hamming"])
+
+
+# ------------------------------------------------------------------- ann
+
+
+def _emb_ds(n=200, d=16, seed=3):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, d).astype(np.float32)
+    m[17] = m[0] * 2.0  # exact-direction duplicate of row 0
+    return ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(n), pa.int64()), "embedding": list(m)})
+    ), m
+
+
+def test_brute_force_topk_exact():
+    ds, m = _emb_ds()
+    q = m[0]
+    top = brute_force_topk(ds, q, k=5)
+    assert top["vec_id"].iloc[0] in (0, 17)  # cosine 1.0 ties
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ (q / np.linalg.norm(q))
+    expect = set(np.argsort(-sims)[:5])
+    assert set(top["vec_id"]) == expect
+
+
+def test_lsh_topk_recall():
+    ds, m = _emb_ds()
+    q = m[0]
+    exact = set(brute_force_topk(ds, q, k=5)["vec_id"])
+    approx = set(lsh_topk(ds, q, k=5, n_bits=6)["vec_id"])
+    # multiprobe LSH should recover the identical-direction vector at least
+    assert 17 in approx or 0 in approx
+    assert len(approx & exact) >= 1
+
+
+def test_pairwise_cosine_pairs():
+    ds, m = _emb_ds()
+    pairs = pairwise_cosine_pairs(ds, threshold=0.999).to_pandas()
+    assert {(0, 17)} == set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_fake_image_roundtrip():
+    dec = ImageDecoder()
+    img = dec._decode_impl(fake_image(10, 8, 3, seed=4))
+    assert img.shape == (8, 10, 3)
+    assert fake_image(10, 8, 3, seed=4) == fake_image(10, 8, 3, seed=4)
+
+
+def test_decode_images_stage():
+    ds = ray.data.from_arrow(gen_media_table(20))
+    out = decode_images(ds, concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 20 and out["decode_ok"].all()
+    assert all(len(f) == 16 for f in out["features"])
+
+
+def test_decoder_rejects_real_codecs_gracefully():
+    dec = ImageDecoder()
+    batch = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "payload": pa.array([b"\x89PNG..."], pa.large_binary())}
+    )
+    out = dec(batch)
+    assert out.column("decode_ok").to_pylist() == [False]
