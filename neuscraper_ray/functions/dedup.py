@@ -142,17 +142,30 @@ def minhash_candidate_pairs(
         batch_size=1024,
     )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    # group by a COARSE bucket of the band hash (not by (band, band_hash)
+    # itself — that cardinality is n_docs x n_bands, and a map_groups
+    # call per mostly-singleton group costs more than the hashing);
+    # inside each coarse bucket the per-bucket pair generation is one
+    # vectorized self-merge.
+    def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df["coarse"] = (df["band_hash"] % 64).astype(np.int32)
+        return df
 
-    # pairs may repeat across bands; callers dedupe the (small) pair
-    # list — a per-pair groupby here would create one group per pair.
-    return bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["band", "band_hash", "doc_id"]]
+        m = df.merge(df, on=["band", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = m.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})[
+            ["id_a", "id_b"]
+        ]
+        return out.drop_duplicates()
+
+    # pairs may still repeat across coarse buckets (different bands);
+    # callers dedupe the (small) pair list.
+    return (
+        bands.map_batches(add_coarse, batch_format="pandas")
+        .groupby("coarse")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
 
 
@@ -258,42 +271,49 @@ def simhash_near_dup_pairs(
             out_band.append(np.full(len(ids), b, dtype=np.int32))
             out_key.append(key)
             out_sim.append(sh.astype(np.int64))
-        return pa.table(
+        t = pa.table(
             {
                 id_col: np.concatenate(out_id),
                 "band": np.concatenate(out_band),
                 "key": np.concatenate(out_key),
                 "simhash": np.concatenate(out_sim),
+                "coarse": (np.concatenate(out_key) % 64).astype(np.int32),
             }
         )
+        return t
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(id_col).sort_values(id_col)
-        ids = df[id_col].to_numpy()
-        sh = df["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
+        # vectorized within the coarse bucket: self-merge on the exact
+        # (band, key), then Hamming-verify the joined simhashes
+        cols = [id_col, "band", "key", "simhash"]
+        m = df[cols].merge(df[cols], on=["band", "key"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
             return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "hamming": pd.Series(dtype=np.int32)}
+                {
+                    "id_a": pd.Series(dtype=np.int64),
+                    "id_b": pd.Series(dtype=np.int64),
+                    "hamming": pd.Series(dtype=np.int32),
+                }
             )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sh[ia] ^ sh[ib]
+        x = m["simhash_a"].to_numpy().astype(np.uint64) ^ m["simhash_b"].to_numpy().astype(np.uint64)
         ham = np.zeros(len(x), dtype=np.int64)
         v = x.copy()
         for _ in range(64):
             ham += (v & np.uint64(1)).astype(np.int64)
             v >>= np.uint64(1)
-        m = ham <= max_hamming
+        keep = ham <= max_hamming
         return pd.DataFrame(
             {
-                "id_a": ids[ia[m]],
-                "id_b": ids[ib[m]],
-                "hamming": ham[m].astype(np.int32),
+                "id_a": m[f"{id_col}_a"].to_numpy()[keep],
+                "id_b": m[f"{id_col}_b"].to_numpy()[keep],
+                "hamming": ham[keep].astype(np.int32),
             }
-        )
+        ).drop_duplicates(["id_a", "id_b"])
 
     pairs = (
         hashed.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "key"])
+        .groupby("coarse")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     df = pairs.to_pandas()

@@ -104,3 +104,47 @@ def test_void_elements_do_not_nest():
 
 def test_strip_constant_matches_reference():
     assert STRIP_CHARS == "\r\n\t\xa0 "
+
+
+def _tree_sig(el):
+    out = []
+    stack = [el]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):
+            out.append(("#str", node))
+        else:
+            out.append(("#el", node.tag))
+            stack.extend(reversed(node.children))
+    return out
+
+
+def test_scanner_equivalent_to_stdlib_backend():
+    from neuscraper_ray.domparse import parse_html_stdlib
+    from neuscraper_ray.synth import gen_pages
+    from neuscraper_ray.stages.extract import decode_html
+
+    pages = gen_pages(120, seed=42, start=7000)
+    for raw in pages.column("html").to_pylist():
+        h = decode_html(raw)
+        assert _tree_sig(parse_html(h)) == _tree_sig(parse_html_stdlib(h))
+
+
+def test_scanner_handles_rawtext_and_junk():
+    seq = extract_node_sequence(
+        "<html><script>if (a<b) { alert('<p>not a tag</p>'); }</script>"
+        "<style>p { color: red }</style><p>real</p></html>"
+    )
+    texts = [t for _, t, _, _, _ in seq]
+    # script/style text ARE text nodes in the reference (only noscript
+    # is excluded); content is raw, instrumented like any bare string
+    assert "real" in texts
+    assert any("alert" in t for t in texts)
+    assert any("color" in t for t in texts)
+
+
+def test_scanner_entities_and_comments():
+    seq = extract_node_sequence(
+        "<html><!-- a comment --><p>a &amp; b &lt;c&gt;</p><!DOCTYPE junk></html>"
+    )
+    assert [t for _, t, _, _, _ in seq] == ["a & b <c>"]
