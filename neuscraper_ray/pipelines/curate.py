@@ -41,6 +41,9 @@ class CurateConfig:
     # stages.scorer.extract_score_batch); set False to run the scorer as
     # a separate actor pool — the right shape when the node model needs
     # per-worker state (GPU weights); batch granularity is then node rows
+    mark_duplicates: bool = False     # append dup_of (exact-dup canonical
+    # url); materializes the curated docs (not the input) for the
+    # two-pass hash projection — see stages.dedup_mark
 
 
 def extract_nodes(pages: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray.data.Dataset:
@@ -125,4 +128,11 @@ def curate(pages: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray.data
         nodes = extract_nodes(pages, cfg)
         preds = score_nodes(nodes, cfg)
         docs = assemble_pages(preds, cfg)
-    return filter_chain(docs, cfg)
+    out = filter_chain(docs, cfg)
+    if cfg.mark_duplicates:
+        from neuscraper_ray.stages.dedup_mark import mark_duplicates
+
+        # curated docs are a small fraction of the input bytes; pin them
+        # so the hash projection doesn't re-run the whole upstream DAG
+        out = mark_duplicates(out.materialize())
+    return out

@@ -46,6 +46,10 @@ def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """One hash bucket of predictions (+ sentinels) -> one row per url."""
     real = df[df["node_id"] >= 0]
     if len(real):
+        # reference semantics: predicted node ids are a per-url SET
+        # (union across chunks/occurrences, inference.py:126-129) — a url
+        # ingested from two shards must not double its text
+        real = real.drop_duplicates(["url", "node_id"])
         real = real.sort_values(["url", "node_id"], ascending=[True, False], kind="mergesort")
         agg = real.groupby("url", sort=False).agg(
             extracted_text=("text", "".join),

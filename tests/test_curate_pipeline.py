@@ -68,3 +68,38 @@ def test_keep_rate_sane(oracle_df):
     # the synthetic corpus is built so both classes are well represented
     rate = oracle_df["keep"].mean()
     assert 0.3 < rate < 0.85, rate
+
+
+def test_duplicate_url_across_blocks_set_union(pages_table, oracle_df):
+    """FIXTURES #5: the same url in multiple input blocks. Reference
+    semantics union node ids as a set per url (inference.py:126-129), so
+    ingesting a page twice yields the same single output row."""
+    import pyarrow as pa
+
+    doubled = pa.concat_tables([pages_table, pages_table.slice(0, 50)])
+    ds = ray.data.from_arrow(doubled).repartition(13)
+    out = curate(ds, CurateConfig(num_buckets=7)).to_pandas()
+    out = out.sort_values("url").reset_index(drop=True)
+    assert len(out) == N_PAGES  # still one row per distinct url
+    assert list(out["extracted_text"]) == list(oracle_df["extracted_text"])
+    assert list(out["keep"]) == list(oracle_df["keep"])
+
+
+def test_mark_duplicates_stage(pages_table):
+    """dup family pages share bodies across urls: exact-dup marking
+    points every non-canonical copy at the min url of its group."""
+    ds = ray.data.from_arrow(pages_table).repartition(8)
+    cfg = CurateConfig(num_buckets=16, mark_duplicates=True)
+    df = curate(ds, cfg).to_pandas()
+    assert "dup_of" in df.columns
+    dups = df[df["dup_of"] != ""]
+    assert len(dups) > 0  # the corpus plants duplicate bodies
+    by_text = df[df["extracted_text"] != ""].groupby("extracted_text")["url"]
+    expected_dup_urls = set()
+    for _, urls in by_text:
+        if len(urls) > 1:
+            expected_dup_urls.update(sorted(urls)[1:])  # all but min url
+    assert set(dups["url"]) == expected_dup_urls
+    # canonical rows are never marked
+    for _, r in dups.iterrows():
+        assert r["dup_of"] < r["url"]
