@@ -155,10 +155,21 @@ def text_separator(
     prev_tn: Element | None,
     curr_tn: Element,
     default_separator: str = "\n",
+    vdom: dict | None = None,
 ) -> str:
+    """``vdom`` (node_id -> VDomFeatures, see ``neuscraper_ray.vdom``)
+    activates the visual rules; without it every node is visible and
+    margin-free (the reference's zero-init behaviour is visibility
+    False — we choose visible so rule 1 stays inert, documented)."""
     if prev_tn is None:
         return default_separator
-    # rule 1 (visibility) never fires without vdom features — all visible
+    if vdom is not None:
+        from neuscraper_ray.vdom import is_visible
+
+        pv = vdom.get(prev_tn.node_id)
+        cv = vdom.get(curr_tn.node_id)
+        if pv is not None and cv is not None and is_visible(pv) != is_visible(cv):
+            return "\n"
     if idx.br_between(prev_tn, curr_tn):
         return "\n"
     prev_block = idx.innermost_block(prev_tn)
@@ -169,12 +180,21 @@ def text_separator(
     curr_text = subtree_text(curr_tn)
     if _space_between(prev_text, curr_text):
         return " "
-    if _is_inline(prev_tn) and _is_inline(curr_tn):
-        # margin/padding rule needs vdom features; no visual info = no margin
+    if _is_inline(prev_tn) and _is_inline(curr_tn) and not _margin_between(vdom, prev_tn, curr_tn):
         return ""
     if _starts_punct_space(curr_text) or _ends_space_punct(prev_text):
         return ""
     return " "
+
+
+def _margin_between(vdom: dict | None, prev_tn: Element, curr_tn: Element) -> bool:
+    if vdom is None:
+        return False  # no visual info = no margin
+    from neuscraper_ray.vdom import has_margin_between
+
+    return bool(
+        has_margin_between(vdom.get(prev_tn.node_id), vdom.get(curr_tn.node_id))
+    )
 
 
 def render_content(
@@ -183,6 +203,7 @@ def render_content(
     add_html_title: bool = True,
     trim_space: bool = True,
     default_text_separator: str = "\n",
+    vdom: dict | None = None,
 ) -> tuple[str, dict[int, tuple[int, int]]]:
     """-> (page_text, {node_id: (start, end)}). Reference
     ``get_content_for_nodes`` (AnnotateHtmlApi.py:492-559)."""
@@ -218,7 +239,7 @@ def render_content(
         sep = (
             "\n"
             if curr_tn is None
-            else text_separator(idx, prev_tn, curr_tn, default_text_separator)
+            else text_separator(idx, prev_tn, curr_tn, default_text_separator, vdom)
         )
         if out_len == 0:
             sep = ""

@@ -103,3 +103,12 @@ def test_mark_duplicates_stage(pages_table):
     # canonical rows are never marked
     for _, r in dups.iterrows():
         assert r["dup_of"] < r["url"]
+
+
+def test_actor_pool_scorer_path_matches_oracle(pages_table, oracle_df):
+    """The non-fused variant (separate NodeScorer actor pool over node
+    rows — the GPU-model shape) must produce identical output."""
+    cfg = CurateConfig(
+        fused_scorer=False, scorer_actors=2, ppl_actors=1, num_buckets=8
+    )
+    _check_match(_run_ray(pages_table, num_blocks=6, cfg=cfg), oracle_df)

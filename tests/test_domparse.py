@@ -148,3 +148,14 @@ def test_scanner_entities_and_comments():
         "<html><!-- a comment --><p>a &amp; b &lt;c&gt;</p><!DOCTYPE junk></html>"
     )
     assert [t for _, t, _, _, _ in seq] == ["a & b <c>"]
+
+
+def test_chunk_boundaries_384_385():
+    from neuscraper_ray.domparse import chunk_sequence
+
+    assert chunk_sequence(0) == []
+    assert chunk_sequence(1) == [(0, 1)]
+    assert chunk_sequence(384) == [(0, 384)]
+    assert chunk_sequence(385) == [(0, 384), (384, 385)]
+    assert chunk_sequence(768) == [(0, 384), (384, 768)]
+    assert chunk_sequence(10, chunk_size=4) == [(0, 4), (4, 8), (8, 10)]
