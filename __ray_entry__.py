@@ -86,6 +86,11 @@ def oracle_sql() -> dict[str, str]:
             "  THEN 1 ELSE 0 END AS s FROM events) "
             "SELECT user_id, sum(s)::BIGINT AS n_sessions FROM x GROUP BY user_id"
         ),
+        "events_rolling_count": (
+            "SELECT event_id, count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 15 MINUTE PRECEDING AND CURRENT ROW)::BIGINT "
+            "AS n_15min FROM events"
+        ),
         "events_distinct_types": "SELECT DISTINCT event_type FROM events",
         "events_top_users": (
             "SELECT user_id, round(sum(value), 2) AS total_value "

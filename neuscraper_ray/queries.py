@@ -218,6 +218,45 @@ def events_user_sessions(sf_dir: str):
     )
 
 
+def events_rolling_count(sf_dir: str):
+    """Sliding window: per event, count of same-user events in the
+    last 15 minutes (inclusive RANGE semantics, matching SQL
+    ``RANGE BETWEEN INTERVAL 15 MINUTE PRECEDING AND CURRENT ROW``).
+
+    Bucketed per-user sorted scan: two searchsorted calls per user give
+    every window count vectorized — no per-event work, no state actor.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["user_id"] % 64).astype(np.int32)
+        return df
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        out_ids = []
+        out_counts = []
+        delta = np.timedelta64(15, "m")
+        for _, g in df.groupby("user_id", sort=False):
+            ts = g["ts"].to_numpy()
+            left = np.searchsorted(ts, ts - delta, side="left")
+            right = np.searchsorted(ts, ts, side="right")
+            out_ids.append(g["event_id"].to_numpy())
+            out_counts.append(right - left)
+        return pd.DataFrame(
+            {
+                "event_id": np.concatenate(out_ids),
+                "n_15min": np.concatenate(out_counts).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
 def events_distinct_types(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))
@@ -516,6 +555,7 @@ ALL_QUERIES = {
     "events_type_agg": events_type_agg,
     "events_hourly": events_hourly,
     "events_user_sessions": events_user_sessions,
+    "events_rolling_count": events_rolling_count,
     "events_distinct_types": events_distinct_types,
     "events_top_users": events_top_users,
     "q1_pricing": q1_pricing,
