@@ -42,7 +42,7 @@ def _run_bench() -> dict:
     from neuscraper_ray.queries import ALL_QUERIES, _pages_dir_for
 
     # ---------- headline: curation pipeline over synthetic pages ----------
-    pages_dir = _pages_dir_for(sf_dir)  # generation is untimed (cached)
+    pages_dir = _pages_dir_for(sf_dir, mult=16)  # generation untimed (cached)
     def read_pages():
         # prune at the read: the pipeline needs url+html only
         return ray.data.read_parquet(pages_dir, columns=["url", "html"])

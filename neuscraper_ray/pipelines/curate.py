@@ -2,20 +2,29 @@
 
 Streaming `ray.data.Dataset` DAG (never materializes the full input):
 
-  read pages
-   -> map_batches(extract_nodes_batch)      stateless tasks  (decode+DOM)
-   -> map_batches(NodeScorer, actors)       per-node classification @0.9
-   -> add url-hash bucket column
+  read pages (url, html — prune the rest at the read)
+   -> map_batches(extract_score_batch)      stateless tasks, page-granular
+        decode + DOM parse + node scorer @0.9; only predicted nodes
+        (+1 sentinel/page) leave the task, with a url-hash bucket col
    -> groupby(bucket).map_groups(assemble)  the ONE all-to-all shuffle
-   -> map_batches(langid)                   stateless
-   -> map_batches(PerplexityScorer, actors) LM table once per actor
-   -> map_batches(heuristics)               stateless
-   -> map_batches(scrub)                    stateless (module regexes)
-   -> map_batches(verdict)                  stateless
+        (polars group-concat, desc node-id, per-url set-union)
+   -> map_batches(filters_fused_batch)      stateless tasks
+        langid -> perplexity (broadcast LM table) -> heuristics ->
+        scrub -> verdict, hand-fused into one operator
+  [-> mark_duplicates]                      optional dup_of stage
 
 Replaces the reference's three-script filesystem-mediated lifecycle
 (/root/reference/src/warc/build.py -> src/scraper/commoncrawl.py ->
 src/warc/get_text.py) with a single streaming DAG.
+
+Skew notes: giant pages (multi-chunk, >384 nodes) amortize inside
+page-granular extract batches (cost ratio ~20x mean over a 32-page
+batch ~= 1.6x task skew); the scorer is per-node with no fixed-size
+padding, so the reference's node-count-bucketed GPU batching concern
+does not arise — in the actor-pool variant (fused_scorer=False) node
+rows batch evenly by count regardless of page of origin. Assembly skew
+is bounded by url-hash bucketing (num_buckets), never by url
+cardinality or page size.
 """
 
 from __future__ import annotations

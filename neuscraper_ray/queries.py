@@ -494,8 +494,14 @@ def embedding_near_pairs(sf_dir: str):
 # ---------------------------------------------------------- curation
 
 
-def _pages_dir_for(sf_dir: str) -> str:
-    """Deterministic synthetic pages cache for a testdata scale."""
+def _pages_dir_for(sf_dir: str, mult: int = 4) -> str:
+    """Deterministic synthetic pages cache for a testdata scale.
+
+    ``mult`` scales pages per document row: 4 for correctness-path
+    callers (entry / curate queries), 16 for the benchmark, where the
+    corpus must be big enough that compute dominates the ~2s serial
+    floor of a local Ray session at 32 cpus.
+    """
     import os
 
     import pyarrow.parquet as pq
@@ -503,9 +509,7 @@ def _pages_dir_for(sf_dir: str) -> str:
     from neuscraper_ray.synth import write_pages
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    # multiplier sized so bench compute (~1.5ms/page/core) dominates the
-    # ~2s serial floor of a local Ray session at 32 cpus
-    n_pages = n_docs * 16
+    n_pages = n_docs * mult
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/neuscraper_pages_{tag}_{n_pages}"
     # >=128 files so every parallelism level is scheduler-bound, not
