@@ -29,10 +29,12 @@ from neuscraper_ray.stages.verdict import decide
 
 def oracle_page(url: str, html_bytes: bytes, ppl_table) -> dict:
     """One page through the whole reference-semantics pipeline."""
+    parse_error = False
     try:
         seq = extract_node_sequence(decode_html(html_bytes))
     except Exception:
         seq = []
+        parse_error = True
     node_ids = [r[0] for r in seq]
     texts = [r[1] for r in seq]
     has_text = [r[4] for r in seq]
@@ -47,9 +49,10 @@ def oracle_page(url: str, html_bytes: bytes, ppl_table) -> dict:
     ppl = perplexity(extracted, ppl_table)
     flags, stats = apply_rules(extracted)
     scrubbed, pii, tox = scrub_text(extracted)
-    keep, reason = decide(extracted, lang_pred, ppl, flags, tox)
+    keep, reason = decide(extracted, lang_pred, ppl, flags, tox, parse_error=parse_error)
     return {
         "url": url,
+        "parse_error": parse_error,
         "extracted_text": extracted,
         "n_kept": len(kept),
         "lang_pred": lang_pred,

@@ -119,8 +119,15 @@ def main() -> None:
             logging_level="ERROR",
         )
     ray.data.DataContext.get_current().enable_progress_bars = False
+    import time
+
     paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    t0 = time.perf_counter()
     agg = run_resumable(paths, args.output, files_per_partition=args.files_per_partition)
+    wall = time.perf_counter() - t0
+    agg["wall_sec"] = round(wall, 2)
+    if agg.get("n_docs") and wall > 0 and agg.get("partitions_run"):
+        agg["docs_per_sec"] = round(agg["n_docs"] / wall, 1)
     print(json.dumps(agg))
     ray.shutdown()
 

@@ -49,7 +49,17 @@ def assemble_bucket_arrow(t: pa.Table) -> pa.Table:
     buffers)."""
     import polars as pl
 
-    df = pl.from_arrow(t.select(["url", "node_id", "text"]))
+    cols = ["url", "node_id", "text"]
+    names = t.schema.names
+    err_col = "err" if "err" in names else ("tag" if "tag" in names else None)
+    if err_col:
+        cols.append(err_col)
+    df = pl.from_arrow(t.select(cols))
+    if err_col == "tag":
+        df = df.with_columns((pl.col("tag") == "#error").alias("err")).drop("tag")
+    elif err_col is None:
+        df = df.with_columns(pl.lit(False).alias("err"))
+    errs = df.group_by("url").agg(pl.col("err").any().alias("parse_error"))
     all_urls = df.select(pl.col("url").unique())
     real = df.filter(pl.col("node_id") >= 0).unique(
         subset=["url", "node_id"], keep="first"
@@ -64,17 +74,29 @@ def assemble_bucket_arrow(t: pa.Table) -> pa.Table:
             ]
         )
     )
-    out = all_urls.join(agg, on="url", how="left").with_columns(
-        [
-            pl.col("extracted_text").fill_null(""),
-            pl.col("n_kept").fill_null(0).cast(pl.Int32),
-        ]
+    out = (
+        all_urls.join(agg, on="url", how="left")
+        .join(errs, on="url", how="left")
+        .with_columns(
+            [
+                pl.col("extracted_text").fill_null(""),
+                pl.col("n_kept").fill_null(0).cast(pl.Int32),
+                pl.col("parse_error").fill_null(False),
+            ]
+        )
     )
     return out.to_arrow()
 
 
 def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    """One hash bucket of predictions (+ sentinels) -> one row per url."""
+    """One hash bucket of predictions (+ sentinels) -> one row per url.
+    (pandas variant; the pipeline hot path uses ``assemble_bucket_arrow``)"""
+    if "err" in df.columns:
+        err_by_url = df.groupby("url", sort=False)["err"].any()
+    elif "tag" in df.columns:
+        err_by_url = (df["tag"] == "#error").groupby(df["url"], sort=False).any()
+    else:
+        err_by_url = None
     real = df[df["node_id"] >= 0]
     if len(real):
         # reference semantics: predicted node ids are a per-url SET
@@ -92,4 +114,8 @@ def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
     out = agg.reindex(all_urls)
     out["extracted_text"] = out["extracted_text"].astype(object).fillna("")
     out["n_kept"] = out["n_kept"].astype("float64").fillna(0).astype(np.int32)
+    if err_by_url is not None:
+        out["parse_error"] = err_by_url.reindex(all_urls).fillna(False).astype(bool)
+    else:
+        out["parse_error"] = False
     return out.reset_index()

@@ -44,22 +44,29 @@ def decode_html(raw: bytes) -> str:
 
 
 def page_to_node_rows(url: str, html_bytes: bytes) -> list[tuple]:
-    """Pure per-page extraction -> list of node-row tuples (+ sentinel)."""
+    """Pure per-page extraction -> list of node-row tuples (+ sentinel).
+
+    A page whose parse raises is NOT silently dropped (the reference's
+    bare ``except: continue`` at warc/build.py:151-153 loses the url
+    AND the reason): its sentinel row carries tag ``#error`` so the
+    document lands in the output with ``drop_reason="parse_error"`` —
+    per-row error lineage instead of disappearance.
+    """
     rows: list[tuple] = []
+    err = False
     try:
         seq = extract_node_sequence(decode_html(html_bytes))
     except Exception:
-        # reference behavior: a page that fails to parse is skipped
-        # (bare except at warc/build.py:151-153); we keep the url via the
-        # sentinel so it lands in the output with keep=False.
         seq = []
+        err = True
     chunk_of = {}
     for ci, (s, e) in enumerate(chunk_sequence(len(seq), CHUNK_SIZE)):
         for pos in range(s, e):
             chunk_of[pos] = ci
     for ord_, (node_id, text, tag, is_tn, has_text) in enumerate(seq):
         rows.append((url, node_id, ord_, chunk_of[ord_], text, tag, is_tn, has_text))
-    rows.append((url, -1, -1, -1, "", "#page", False, False))  # sentinel
+    sentinel_tag = "#error" if err else "#page"
+    rows.append((url, -1, -1, -1, "", sentinel_tag, False, False))  # sentinel
     return rows
 
 

@@ -205,6 +205,8 @@ def extract_score_batch(
         "node_id": pa.array(node_id[idx].astype(np.int32)),
         "text": pa.array([rows[i][4] for i in idx], pa.large_string()),
         "score": pa.array(scores[idx], pa.float32()),
+        # error lineage: only sentinel rows can carry tag '#error'
+        "err": pa.array([rows[i][5] == "#error" for i in idx], pa.bool_()),
     }
     if num_buckets is not None:
         import zlib

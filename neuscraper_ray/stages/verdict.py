@@ -20,8 +20,11 @@ def decide(
     quality_flags: list[str],
     toxic_count: int,
     ppl_threshold: float = PPL_THRESHOLD,
+    parse_error: bool = False,
 ) -> tuple[bool, str]:
     """-> (keep, drop_reason). Pure, deterministic."""
+    if parse_error and not extracted_text:
+        return False, "parse_error"  # error lineage beats a bare "empty"
     if not extracted_text:
         return False, "empty"
     if lang_pred != KEEP_LANG:
@@ -57,14 +60,20 @@ def filters_fused_batch(
 
 
 def verdict_batch(df: pd.DataFrame, ppl_threshold: float = PPL_THRESHOLD) -> pd.DataFrame:
+    perr = (
+        df["parse_error"].tolist()
+        if "parse_error" in df.columns
+        else [False] * len(df)
+    )
     decisions = [
-        decide(t, lp, p, qf, tc, ppl_threshold)
-        for t, lp, p, qf, tc in zip(
+        decide(t, lp, p, qf, tc, ppl_threshold, pe)
+        for t, lp, p, qf, tc, pe in zip(
             df["extracted_text"].tolist(),
             df["lang_pred"].tolist(),
             df["ppl"].tolist(),
             df["quality_flags"].tolist(),
             df["toxic_count"].tolist(),
+            perr,
         )
     ]
     df["keep"] = [d[0] for d in decisions]

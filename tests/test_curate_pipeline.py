@@ -112,3 +112,38 @@ def test_actor_pool_scorer_path_matches_oracle(pages_table, oracle_df):
         fused_scorer=False, scorer_actors=2, ppl_actors=1, num_buckets=8
     )
     _check_match(_run_ray(pages_table, num_blocks=6, cfg=cfg), oracle_df)
+
+
+def test_parse_error_lineage_units():
+    """Parse-failure lineage, hop by hop (the mock cannot cross Ray
+    worker processes, so each stage is exercised in-process)."""
+    from unittest import mock
+    import pyarrow as pa
+    import neuscraper_ray.stages.extract as ex
+    from neuscraper_ray.stages.assemble import assemble_bucket_arrow, assemble_bucket
+    from neuscraper_ray.stages.verdict import decide
+    import pandas as pd
+
+    # 1. extractor marks the sentinel with tag '#error'
+    with mock.patch.object(ex, "extract_node_sequence", side_effect=ValueError):
+        rows = ex.page_to_node_rows("u_bad", b"<html>x</html>")
+    assert rows == [("u_bad", -1, -1, -1, "", "#error", False, False)]
+
+    # 2. both assembly variants surface parse_error per url
+    t = pa.table(
+        {
+            "url": ["u_bad", "u_ok", "u_ok"],
+            "node_id": pa.array([-1, -1, 3], pa.int32()),
+            "text": pa.array(["", "", "hello"], pa.large_string()),
+            "err": [True, False, False],
+        }
+    )
+    out = assemble_bucket_arrow(t).to_pandas().set_index("url")
+    assert bool(out.loc["u_bad", "parse_error"]) and not bool(out.loc["u_ok", "parse_error"])
+    assert out.loc["u_ok", "extracted_text"] == "hello"
+    out2 = assemble_bucket(t.to_pandas()).set_index("url")
+    assert bool(out2.loc["u_bad", "parse_error"]) and not bool(out2.loc["u_ok", "parse_error"])
+
+    # 3. verdict prefers parse_error over empty
+    assert decide("", "und", 0.0, [], 0, parse_error=True) == (False, "parse_error")
+    assert decide("", "und", 0.0, [], 0, parse_error=False) == (False, "empty")
