@@ -111,6 +111,7 @@ def filter_chain(docs: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray
     (``ray.put`` cached) and fetched zero-copy per worker.
     """
     cfg = cfg or CurateConfig()
+    from neuscraper_ray.stages.langid import get_langid_ref
     from neuscraper_ray.stages.perplexity import get_table_ref
     from neuscraper_ray.stages.verdict import filters_fused_batch
 
@@ -118,7 +119,7 @@ def filter_chain(docs: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray
         filters_fused_batch,
         batch_format="pandas",
         batch_size=None,
-        fn_kwargs={"table_ref": get_table_ref()},
+        fn_kwargs={"table_ref": get_table_ref(), "langid_ref": get_langid_ref()},
     )
 
 

@@ -29,7 +29,6 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 THRESHOLD = 0.9  # Primary @ 0.9
 
@@ -209,7 +208,6 @@ def extract_score_batch(
         "err": pa.array([rows[i][5] == "#error" for i in idx], pa.bool_()),
     }
     if num_buckets is not None:
-        import zlib
 
         b = np.fromiter(
             (zlib.crc32(u.encode("utf-8")) % num_buckets for u in kept_urls),

@@ -39,7 +39,10 @@ def decide(
 
 
 def filters_fused_batch(
-    df: pd.DataFrame, ppl_threshold: float = PPL_THRESHOLD, table_ref=None
+    df: pd.DataFrame,
+    ppl_threshold: float = PPL_THRESHOLD,
+    table_ref=None,
+    langid_ref=None,
 ) -> pd.DataFrame:
     """All five filter stages in one batch fn => ONE Ray operator.
 
@@ -52,7 +55,7 @@ def filters_fused_batch(
     from neuscraper_ray.stages.perplexity import perplexity_batch
     from neuscraper_ray.stages.scrub import scrub_batch
 
-    df = langid_batch(df)
+    df = langid_batch(df, weights_ref=langid_ref)
     df = perplexity_batch(df, table_ref=table_ref)
     df = heuristics_batch(df)
     df = scrub_batch(df)
