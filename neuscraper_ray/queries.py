@@ -257,6 +257,14 @@ def events_rolling_count(sf_dir: str):
     )
 
 
+def events_sample(sf_dir: str):
+    """Seeded random sample + seeded shuffle (O4 parity; Ray's sampler
+    is engine-specific so this is a rows-only check — determinism is
+    asserted by the test suite instead of a SQL oracle)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    return ds.random_shuffle(seed=7).random_sample(0.05, seed=42)
+
+
 def events_distinct_types(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))
@@ -560,6 +568,7 @@ ALL_QUERIES = {
     "events_hourly": events_hourly,
     "events_user_sessions": events_user_sessions,
     "events_rolling_count": events_rolling_count,
+    "events_sample": events_sample,
     "events_distinct_types": events_distinct_types,
     "events_top_users": events_top_users,
     "q1_pricing": q1_pricing,
