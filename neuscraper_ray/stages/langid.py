@@ -33,7 +33,7 @@ _SENT_PER_LANG = 1200
 _EPOCHS = 150
 _LR = 20.0
 _CONFIDENCE = 0.5
-HEAD_CHARS = 2000  # classify on the document head
+HEAD_CHARS = 600  # language ID saturates well before this many chars
 
 
 def _featurize(texts: list[str]) -> np.ndarray:
