@@ -65,6 +65,23 @@ def oracle_sql() -> dict[str, str]:
             "(list_sum(list_transform(str_split(text, ' '), x -> len(x))) * 10000) // len(str_split(text, ' ')) AS mean_word_len_e4 "
             "FROM documents"
         ),
+        "docs_scrub": (
+            "WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 "
+            "THEN ' contact user' || doc_id || '@example.com or 192.168.0.' "
+            "|| (doc_id % 256) || ' now' ELSE '' END AS t FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
+            "'(?:\\(\\d{3}\\)\\s?|\\b\\d{3}[-.\\s])\\d{3}[-.\\s]\\d{4}\\b', '<PHONE>', 'g'), "
+            "'\\b(?:\\d[ -]?){12,15}\\d\\b', '<CC>', 'g'), "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), "
+            "'(?i)\\b(badword1|badword2|slurword|vileword)\\b', '<TOX>', 'g') "
+            "AS scrubbed, "
+            "(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::BIGINT AS pii_count "
+            "FROM aug"
+        ),
         "docs_length_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE n_chars BETWEEN 150 AND 350"

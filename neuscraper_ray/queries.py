@@ -121,6 +121,42 @@ def docs_length_filter(sf_dir: str):
     )
 
 
+def docs_scrub(sf_dir: str):
+    """PII/toxicity scrub over document text — SQL-verifiable: the same
+    pattern chain as ``stages.scrub`` expressed as chained
+    ``regexp_replace`` calls in the DuckDB oracle (RE2-compatible
+    patterns, no lookarounds, left-to-right non-overlapping semantics
+    match Python ``re.sub``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        from neuscraper_ray.stages.scrub import scrub_text
+
+        # plant deterministic PII on every 7th doc so the regex chain is
+        # genuinely exercised (the raw corpus contains none); the SQL
+        # oracle constructs the identical augmented text
+        aug = [
+            t
+            + (
+                f" contact user{i}@example.com or 192.168.0.{i % 256} now"
+                if i % 7 == 0
+                else ""
+            )
+            for i, t in zip(df["doc_id"].tolist(), df["text"].tolist())
+        ]
+        res = [scrub_text(t) for t in aug]
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "scrubbed": [r[0] for r in res],
+                "pii_count": np.asarray([r[1] for r in res], dtype=np.int64),
+            }
+        )
+        return out
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
 def docs_langid(sf_dir: str):
     """Language-ID over document text (non-SQL: model-based, rows-only)."""
     from neuscraper_ray.stages.langid import langid_batch
@@ -560,6 +596,7 @@ ALL_QUERIES = {
     "docs_lang_stats": docs_lang_stats,
     "docs_word_stats": docs_word_stats,
     "docs_length_filter": docs_length_filter,
+    "docs_scrub": docs_scrub,
     "docs_langid": docs_langid,
     "docs_minhash_clusters": docs_minhash_clusters,
     "docs_simhash_pairs": docs_simhash_pairs,
