@@ -119,6 +119,76 @@ def lsh_topk(
     return cand.reset_index(drop=True)
 
 
+def ivf_build(
+    ds: ray.data.Dataset,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 5,
+    iters: int = 10,
+):
+    """IVF coarse quantizer: deterministic k-means over a sample.
+
+    Returns ``(centroids: (n_lists, d) float32, assign_fn)`` where
+    ``assign_fn(matrix) -> list ids``. Centroid training samples the
+    dataset (first block is enough for a coarse quantizer at scale;
+    here the table is small so we take it all), fixed seed + fixed
+    iterations => identical index everywhere.
+    """
+    sample = ds.limit(50_000).to_pandas()
+    m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(n_lists, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        sims = m @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pd.DataFrame":
+    """IVF-probed approximate cosine top-k: score only rows whose
+    nearest centroid is among the query's ``n_probe`` closest lists.
+    The centroid matrix is broadcast once; per batch one small matmul
+    assigns lists and one matmul scores the probed subset."""
+    cent = ivf_build(ds, n_lists, id_col, vec_col)
+    q = _normalize(query.reshape(1, -1).astype(np.float32))
+    probe = set(np.argsort(-(cent @ q.T).ravel())[:n_probe].tolist())
+    ref = ray.put((cent, q, np.array(sorted(probe))))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        c, qm, probes = ray.get(ref)
+        m = _normalize(_stack(batch.column(vec_col)))
+        assign = (m @ c.T).argmax(axis=1)
+        mask = np.isin(assign, probes)
+        if not mask.any():
+            return pa.table(
+                {id_col: np.array([], dtype=np.int64), "cosine": np.array([], dtype=np.float64)}
+            )
+        sims = (m[mask] @ qm.T).ravel().astype(np.float64)
+        ids = batch.column(id_col).to_numpy()[mask]
+        part = np.argpartition(-sims, k)[:k] if len(ids) > k else np.arange(len(ids))
+        return pa.table({id_col: ids[part], "cosine": sims[part]})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    cand = cand.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+    return cand.reset_index(drop=True)
+
+
 def pairwise_cosine_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,

@@ -151,3 +151,17 @@ def test_decoder_rejects_real_codecs_gracefully():
     )
     out = dec(batch)
     assert out.column("decode_ok").to_pylist() == [False]
+
+
+def test_ivf_topk_recall():
+    from neuscraper_ray.functions.ann import ivf_topk
+
+    ds, m = _emb_ds()
+    q = m[0]
+    exact = set(brute_force_topk(ds, q, k=5)["vec_id"])
+    approx = ivf_topk(ds, q, k=5, n_lists=8, n_probe=3)
+    assert len(approx) > 0
+    # the identical-direction vector lives in the query's own list
+    got = set(approx["vec_id"])
+    assert 17 in got or 0 in got
+    assert len(got & exact) >= 2
