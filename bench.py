@@ -146,6 +146,16 @@ def _scaling() -> None:
     )
 
 
+def _membw_worker(_):
+    import numpy as np
+
+    a = np.random.RandomState(0).randint(0, 255, 8_000_000).astype(np.uint8)
+    t0 = time.perf_counter()
+    for _ in range(15):
+        np.cumsum(a.astype(np.float64))
+    return time.perf_counter() - t0
+
+
 def _membw() -> None:
     """Memory-bandwidth contention microbench (pure numpy, no Ray).
 
@@ -158,15 +168,7 @@ def _membw() -> None:
     """
     import multiprocessing as mp
 
-    import numpy as np
-
-    def worker(_):
-        a = np.random.RandomState(0).randint(0, 255, 8_000_000).astype(np.uint8)
-        t0 = time.perf_counter()
-        for _ in range(15):
-            np.cumsum(a.astype(np.float64))
-        return time.perf_counter() - t0
-
+    worker = _membw_worker
     res = {}
     for p in (8, 32):
         with mp.Pool(p) as pool:

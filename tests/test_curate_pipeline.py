@@ -147,3 +147,28 @@ def test_parse_error_lineage_units():
     # 3. verdict prefers parse_error over empty
     assert decide("", "und", 0.0, [], 0, parse_error=True) == (False, "parse_error")
     assert decide("", "und", 0.0, [], 0, parse_error=False) == (False, "empty")
+
+
+def test_tiny_block_size_invariance(pages_table, oracle_df):
+    """Byte-identical output when Ray splits blocks aggressively
+    (target_max_block_size small enough to fragment every stage)."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 64 * 1024  # 64 KiB
+        _check_match(_run_ray(pages_table, num_blocks=17), oracle_df)
+    finally:
+        ctx.target_max_block_size = old
+
+
+def test_generator_determinism():
+    """FIXTURES #10: generator(seed=42) twice -> identical bytes."""
+    import pyarrow as pa
+
+    a = gen_pages(150, seed=42, start=300)
+    b = gen_pages(150, seed=42, start=300)
+    assert a.equals(b)
+    c = gen_pages(150, seed=43, start=300)
+    assert not a.equals(c)
