@@ -550,12 +550,12 @@ def _pages_dir_for(sf_dir: str, mult: int = 4) -> str:
 
     import pyarrow.parquet as pq
 
-    from neuscraper_ray.synth import write_pages
+    from neuscraper_ray.synth import SYNTH_VERSION, write_pages
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     n_pages = n_docs * mult
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/neuscraper_pages_{tag}_{n_pages}"
+    out = f"/tmp/neuscraper_pages_v{SYNTH_VERSION}_{tag}_{n_pages}"
     # >=128 files so every parallelism level is scheduler-bound, not
     # partition-bound (BASELINE.md scaling criterion)
     write_pages(out, n_pages, rows_per_file=max(64, n_pages // 128))

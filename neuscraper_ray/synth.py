@@ -20,6 +20,10 @@ import random
 
 import pyarrow as pa
 
+# bump when generator output changes — cache directories embed this so
+# stale /tmp corpora from older generator code are never reused
+SYNTH_VERSION = 2
+
 # --- word pools (public, generic vocabulary) ---------------------------------
 
 EN_STOP = "the of and a to in is it you that he was for on are with as".split()
