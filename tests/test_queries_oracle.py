@@ -62,3 +62,16 @@ def test_rows_only_queries_run(name):
     if hasattr(result, "to_pandas"):
         result = result.to_pandas()
     assert result is not None and len(result.columns) > 0
+
+
+def test_all_queries_run_at_smallest_scale():
+    """Every query must also survive sf0.001 (scale-dependent empties,
+    tiny partitions) — rows-only smoke across the whole surface."""
+    heavy = {"curate_labels", "curate_drop_reasons"}  # covered via entry()
+    for name, q in entry_mod.queries().items():
+        if name in heavy:
+            continue
+        res = q("/root/testdata/sf0.001")
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        assert res is not None and len(res.columns) > 0, name
