@@ -44,10 +44,17 @@ def oracle_page(url: str, html_bytes: bytes, ppl_table) -> dict:
         for i, (nid, s, ht) in enumerate(zip(node_ids, scores, has_text))
         if s > THRESHOLD and nid != 0 and ht
     ]
-    extracted = assemble_page_text([node_ids[i] for i in kept], [texts[i] for i in kept])
+    kept_texts = [texts[i] for i in kept]
+    extracted = assemble_page_text([node_ids[i] for i in kept], kept_texts)
     lang_pred, lang_score = detect_language(extracted)
     ppl = perplexity(extracted, ppl_table)
-    flags, stats = apply_rules(extracted)
+    # Gopher line rules: kept node texts are the page's "lines"
+    if kept_texts:
+        bullet_ratio = sum(1.0 for t in kept_texts if t[:1] in "-*•") / len(kept_texts)
+        ellipsis_ratio = sum(1.0 for t in kept_texts if t.endswith("...")) / len(kept_texts)
+    else:
+        bullet_ratio = ellipsis_ratio = 0.0
+    flags, stats = apply_rules(extracted, bullet_ratio, ellipsis_ratio)
     scrubbed, pii, tox = scrub_text(extracted)
     keep, reason = decide(extracted, lang_pred, ppl, flags, tox, parse_error=parse_error)
     return {

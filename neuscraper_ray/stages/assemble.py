@@ -71,6 +71,12 @@ def assemble_bucket_arrow(t: pa.Table) -> pa.Table:
             [
                 pl.col("text").str.join("").alias("extracted_text"),
                 pl.len().alias("n_kept"),
+                # Gopher line rules: kept node texts are the "lines"
+                pl.col("text")
+                .str.contains(r"^[-*•]")
+                .mean()
+                .alias("bullet_ratio"),
+                pl.col("text").str.ends_with("...").mean().alias("ellipsis_ratio"),
             ]
         )
     )
@@ -81,6 +87,8 @@ def assemble_bucket_arrow(t: pa.Table) -> pa.Table:
             [
                 pl.col("extracted_text").fill_null(""),
                 pl.col("n_kept").fill_null(0).cast(pl.Int32),
+                pl.col("bullet_ratio").fill_null(0.0).cast(pl.Float64),
+                pl.col("ellipsis_ratio").fill_null(0.0).cast(pl.Float64),
                 pl.col("parse_error").fill_null(False),
             ]
         )
@@ -104,16 +112,24 @@ def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # ingested from two shards must not double its text
         real = real.drop_duplicates(["url", "node_id"])
         real = real.sort_values(["url", "node_id"], ascending=[True, False], kind="mergesort")
-        agg = real.groupby("url", sort=False).agg(
+        bullets = real["text"].str.match(r"[-*•]").astype(float)
+        ellipses = real["text"].str.endswith("...").astype(float)
+        agg = real.assign(_b=bullets, _e=ellipses).groupby("url", sort=False).agg(
             extracted_text=("text", "".join),
             n_kept=("node_id", "size"),
+            bullet_ratio=("_b", "mean"),
+            ellipsis_ratio=("_e", "mean"),
         )
     else:
-        agg = pd.DataFrame(columns=["extracted_text", "n_kept"])
+        agg = pd.DataFrame(
+            columns=["extracted_text", "n_kept", "bullet_ratio", "ellipsis_ratio"]
+        )
     all_urls = pd.Index(df["url"].unique(), name="url")
     out = agg.reindex(all_urls)
     out["extracted_text"] = out["extracted_text"].astype(object).fillna("")
     out["n_kept"] = out["n_kept"].astype("float64").fillna(0).astype(np.int32)
+    out["bullet_ratio"] = out["bullet_ratio"].astype("float64").fillna(0.0)
+    out["ellipsis_ratio"] = out["ellipsis_ratio"].astype("float64").fillna(0.0)
     if err_by_url is not None:
         out["parse_error"] = err_by_url.reindex(all_urls).fillna(False).astype(bool)
     else:

@@ -26,6 +26,10 @@ MIN_ALPHA_WORD_RATIO = 0.7    # words containing >=1 alphabetic char
 MIN_STOPWORD_HITS = 2         # >=2 of 8 core stopwords (Gopher)
 MIN_DISTINCT_WORD_RATIO = 0.2 # repetition guard (line rules re-expressed)
 REPETITION_MAX_WORDS = 1000   # Heaps'-law guard: ratio is length-biased
+# Gopher line rules over kept node texts (the "lines" of an assembled
+# page — computed during assembly, consumed here)
+MAX_BULLET_LINE_RATIO = 0.9
+MAX_ELLIPSIS_LINE_RATIO = 0.3
 BRACE_CHAR = "{"              # C4: drop pages containing '{'
 
 
@@ -76,17 +80,28 @@ RULES = [
 ]
 
 
-def apply_rules(text: str) -> tuple[list[str], dict]:
-    """-> (failing rule names in priority order, stats)."""
+def apply_rules(
+    text: str, bullet_ratio: float = 0.0, ellipsis_ratio: float = 0.0
+) -> tuple[list[str], dict]:
+    """-> (failing rule names in priority order, stats). The two line
+    ratios come from assembly (node texts = lines); 0.0 when absent."""
     s = quality_stats(text)
-    return [name for name, pred in RULES if pred(s)], s
+    flags = [name for name, pred in RULES if pred(s)]
+    if s["n_words"] >= MIN_WORDS:  # line rules are meaningless on empties
+        if bullet_ratio > MAX_BULLET_LINE_RATIO:
+            flags.append("bullet_lines")
+        if ellipsis_ratio > MAX_ELLIPSIS_LINE_RATIO:
+            flags.append("ellipsis_lines")
+    return flags, s
 
 
 def heuristics_batch(df: pd.DataFrame, column: str = "extracted_text") -> pd.DataFrame:
     flags_col: list[list[str]] = []
     n_words_col: list[int] = []
-    for t in df[column].tolist():
-        flags, s = apply_rules(t)
+    br = df["bullet_ratio"].tolist() if "bullet_ratio" in df.columns else [0.0] * len(df)
+    er = df["ellipsis_ratio"].tolist() if "ellipsis_ratio" in df.columns else [0.0] * len(df)
+    for t, b, e in zip(df[column].tolist(), br, er):
+        flags, s = apply_rules(t, b, e)
         flags_col.append(flags)
         n_words_col.append(s["n_words"])
     df["quality_flags"] = flags_col

@@ -57,3 +57,35 @@ def test_warc_feeds_curation_pipeline(tmp_path):
     out = preds.to_pandas()
     # every url at least has its sentinel row
     assert set(out["url"]) == {r[0] for r in RECORDS}
+
+
+def test_plain_uncompressed_warc(tmp_path):
+    """Non-gzip .warc files parse through the same reader."""
+    import gzip as _g
+
+    p = str(tmp_path / "plain.warc")
+    pgz = str(tmp_path / "tmp.warc.gz")
+    write_warc_gz(pgz, RECORDS[:2])
+    # decompress members into one plain file
+    raw = b""
+    with open(pgz, "rb") as f:
+        data = f.read()
+    import io, zlib
+
+    # member-gzipped: decompress sequentially
+    buf = io.BytesIO(data)
+    while True:
+        start = buf.tell()
+        head = buf.read(2)
+        if len(head) < 2:
+            break
+        buf.seek(start)
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        raw += d.decompress(buf.read())
+        buf.seek(len(data) - len(d.unused_data))
+        if not d.unused_data:
+            break
+    with open(p, "wb") as f:
+        f.write(raw)
+    t = parse_warc_bytes(raw)
+    assert t.column("url").to_pylist() == [r[0] for r in RECORDS[:2]]
