@@ -557,8 +557,10 @@ def _pages_dir_for(sf_dir: str, mult: int = 4) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/neuscraper_pages_v{SYNTH_VERSION}_{tag}_{n_pages}"
     # >=128 files so every parallelism level is scheduler-bound, not
-    # partition-bound (BASELINE.md scaling criterion)
-    write_pages(out, n_pages, rows_per_file=max(64, n_pages // 128))
+    # partition-bound; shards capped at ~160 pages — coarser blocks
+    # (600+ pages/task) measurably degrade 32-cpu throughput (straggly
+    # 1s+ tasks at phase boundaries, less pipelining)
+    write_pages(out, n_pages, rows_per_file=max(64, min(160, n_pages // 128)))
     return out
 
 
