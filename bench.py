@@ -77,10 +77,12 @@ def _run_bench() -> dict:
         "q1_pricing",
         "events_type_agg",
         "events_user_sessions",
+        "events_rolling_count",
         "order_line_concat",
         "docs_exact_dedup",
         "docs_minhash_clusters",
         "docs_simhash_pairs",
+        "docs_scrub",
         "ann_topk",
         "embedding_near_pairs",
     ]
