@@ -56,11 +56,7 @@ def _run_bench() -> dict:
     # identical plan at every parallelism level: the partitioning must be
     # a function of the DATA, not of cluster size, or the two scaling
     # runs execute different plans
-    cfg = CurateConfig(
-        scorer_actors=(2, max(2, num_cpus // 2)),
-        ppl_actors=(1, max(1, num_cpus // 4)),
-        num_buckets=128,
-    )
+    cfg = CurateConfig(num_buckets=128)
     out_dir = f"/tmp/bench_curate_out_{num_cpus}"
     import shutil
 

@@ -28,7 +28,7 @@ def oracle_df(pages_table):
 
 def _run_ray(pages_table, num_blocks, cfg=None):
     ds = ray.data.from_arrow(pages_table).repartition(num_blocks)
-    out = curate(ds, cfg or CurateConfig(scorer_actors=2, ppl_actors=1, num_buckets=16))
+    out = curate(ds, cfg or CurateConfig(scorer_actors=2, num_buckets=16))
     df = out.to_pandas()
     return df.sort_values("url").reset_index(drop=True)
 
@@ -52,7 +52,7 @@ def test_ray_matches_oracle(pages_table, oracle_df):
 
 def test_partitioning_invariance(pages_table, oracle_df):
     # different block count + different bucket count => identical output
-    cfg = CurateConfig(scorer_actors=2, ppl_actors=1, num_buckets=5)
+    cfg = CurateConfig(scorer_actors=2, num_buckets=5)
     _check_match(_run_ray(pages_table, num_blocks=23, cfg=cfg), oracle_df)
 
 
@@ -109,7 +109,7 @@ def test_actor_pool_scorer_path_matches_oracle(pages_table, oracle_df):
     """The non-fused variant (separate NodeScorer actor pool over node
     rows — the GPU-model shape) must produce identical output."""
     cfg = CurateConfig(
-        fused_scorer=False, scorer_actors=2, ppl_actors=1, num_buckets=8
+        fused_scorer=False, scorer_actors=2, num_buckets=8
     )
     _check_match(_run_ray(pages_table, num_blocks=6, cfg=cfg), oracle_df)
 
