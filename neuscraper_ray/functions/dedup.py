@@ -229,18 +229,27 @@ def near_dup_clusters(
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over lowercase word unigrams (crc32-seeded md5 bits)."""
+    """64-bit SimHash over lowercase word unigrams (md5-derived bits).
+
+    Per-word hashing stays in Python (md5 is C-speed); the 64-bit
+    unpack + signed accumulation is one batched numpy op over all
+    words, not one per word."""
     words = text.lower().split()
     if not words:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+            for w in words
+        ),
+        dtype=np.uint64,
+        count=len(words),
+    )
     shifts = np.arange(64, dtype=np.uint64)
-    for w in words:
-        h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    bits = (acc > 0).astype(np.uint64)
-    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out_bits = (acc > 0).astype(np.uint64)
+    return int((out_bits << shifts).sum())
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
