@@ -56,13 +56,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_lang_stats": (
             "SELECT lang, count(*)::BIGINT AS n_docs, "
-            "(sum(n_chars) * 100) // count(*) AS avg_chars_e2 "
+            "((sum(n_chars) * 100) // count(*))::BIGINT AS avg_chars_e2 "
             "FROM documents GROUP BY lang"
         ),
         "docs_word_stats": (
             "SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_words, "
             "len(list_distinct(list_transform(str_split(text, ' '), x -> lower(x))))::BIGINT AS n_distinct_words, "
-            "(list_sum(list_transform(str_split(text, ' '), x -> len(x))) * 10000) // len(str_split(text, ' ')) AS mean_word_len_e4 "
+            "((list_sum(list_transform(str_split(text, ' '), x -> len(x))) * 10000) // len(str_split(text, ' ')))::BIGINT AS mean_word_len_e4 "
             "FROM documents"
         ),
         "docs_scrub": (

@@ -22,12 +22,12 @@ import ray
 import ray.data
 
 
-def _stack(batch_col) -> np.ndarray:
-    """Arrow list<float> column -> (n, d) float32 matrix (zero-copy-ish)."""
+def _stack(batch_col, dtype=np.float32) -> np.ndarray:
+    """Arrow list<float> column -> (n, d) matrix (zero-copy-ish)."""
     arr = batch_col.combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.chunk(0)
-    values = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    values = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
     n = len(arr)
     return values.reshape(n, -1)
 
@@ -48,14 +48,16 @@ def brute_force_topk(
     """Exact cosine top-k for a single query vector.
 
     -> DataFrame(vec_id, cosine) sorted by (-cosine, vec_id), k rows.
+    Similarities are computed in float64 end-to-end so near-ties at the
+    k-th boundary rank identically to the SQL oracle's float64 cosine.
     """
-    q = _normalize(query.reshape(1, -1).astype(np.float32))
+    q = _normalize(query.reshape(1, -1).astype(np.float64))
     q_ref = ray.put(q)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        m = _normalize(_stack(batch.column(vec_col)))
-        sims = (m @ qm.T).ravel().astype(np.float64)
+        m = _normalize(_stack(batch.column(vec_col), dtype=np.float64))
+        sims = (m @ qm.T).ravel()
         ids = batch.column(id_col).to_numpy()
         if len(ids) > k:
             part = np.argpartition(-sims, k)[:k]

@@ -55,7 +55,20 @@ def manifest_path(out_dir: str, plan: PartitionPlan) -> str:
 
 
 def is_complete(out_dir: str, plan: PartitionPlan) -> bool:
-    return os.path.exists(manifest_path(out_dir, plan))
+    """Complete iff the manifest exists AND its recorded lineage matches
+    the current plan's input shards. If the input shard list changed
+    between runs (file added/renamed), partition indices shift; a
+    manifest covering different shards must not be skipped — it is
+    treated as incomplete (gc'd and re-run)."""
+    mp = manifest_path(out_dir, plan)
+    if not os.path.exists(mp):
+        return False
+    try:
+        with open(mp) as f:
+            manifest = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return manifest.get("input_paths") == plan.input_paths
 
 
 def gc_incomplete(out_dir: str) -> list[str]:
