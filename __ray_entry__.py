@@ -6,8 +6,11 @@
   SURVEY.md §2 (plus the scale extensions: dedup family, ANN, text
   analysis).
 - ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
-  query; model-based / approximate ops (langid, minhash, simhash, LSH
-  ANN, the curation pipeline itself) are rows-only by design.
+  query — including the near-dup family (minhash clusters, simhash
+  pairs, fingerprints), whose shared Mersenne-61 polynomial hashing
+  (``neuscraper_ray.functions.polyhash``) was designed to be exactly
+  reproducible in SQL. Only model-based / approximate / full-pipeline
+  ops (langid, LSH ANN, curate) are rows-only, each with a rationale.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in ``neuscraper_ray``) calls ``ray.init`` / ``ray.shutdown``.
@@ -42,7 +45,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from neuscraper_ray.functions import polyhash
+
     return {
+        "docs_fingerprint": (
+            "SELECT doc_id, "
+            + polyhash.sql_fingerprint("text")
+            + " AS fingerprint FROM documents"
+        ),
+        "docs_simhash_pairs": polyhash.sql_simhash_pairs("documents"),
+        "docs_minhash_clusters": polyhash.sql_minhash_clusters("documents"),
+        "events_sample": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 20 = 0"
+        ),
         "docs_token_count": (
             "SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_tokens "
             "FROM documents"
@@ -156,7 +172,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"
         ),
-        # rows-only (model-based / approximate / non-SQL): docs_langid,
-        # docs_minhash_clusters, docs_simhash_pairs, docs_fingerprint,
-        # ann_topk_lsh, curate_labels, curate_drop_reasons
+        # rows-only, each with a rationale:
+        # - docs_langid: trained hashed-ngram softmax model — not SQL-
+        #   expressible; accuracy asserted vs the corpus lang column in
+        #   tests/test_filters.py.
+        # - ann_topk_lsh: approximate by design (hyperplane LSH); its
+        #   recall@10 vs the exact ann_topk is asserted in tests.
+        # - curate_labels / curate_drop_reasons: full HTML parse +
+        #   neural-scorer pipeline — non-SQL; byte-identical text per
+        #   url is asserted against the shared-function oracle in
+        #   tests/test_curate_pipeline.py.
     }

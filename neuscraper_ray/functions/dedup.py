@@ -7,30 +7,46 @@ column and are built from shuffle-minimal primitives:
   ``groupby(hash)`` keep-first. One shuffle keyed on a short hash (never
   on the raw text).
 - **MinHash + LSH** near-dup: word-shingle minhash signatures per batch
-  -> explode to (band_id, band_hash, id) rows -> ``groupby`` bands ->
-  candidate pairs -> signature-estimated Jaccard verify -> min-label
-  cluster ids. The only all-to-all moves (n_bands x id) rows, not text.
+  -> explode to (band, band_hash, id) rows -> coarse-bucket groupby ->
+  candidate pairs -> min-label cluster ids. The only all-to-all moves
+  (n_bands x id) rows, not text.
 - **SimHash**: 64-bit simhash per doc; near-dup candidates via 4-way
   band blocking (Hamming distance <= 3 guarantee by pigeonhole).
 - **n-gram Jaccard** verify: exact similarity for a candidate pair list
   (small side), used as the precise check behind either blocker.
 
-Scale notes: cluster assignment uses iterative min-label propagation
-over the candidate edge list (a groupby per round, O(log n) rounds)
-rather than driver-side union-find, so it holds when the edge list
-exceeds driver memory; at test scale one round usually converges.
+Hashing lives in ``polyhash`` (shared Mersenne-61 polynomial family):
+one vectorized pass per batch — no per-shingle / per-word Python
+hashing — and semantics a DuckDB oracle reproduces value-for-value
+(``__ray_entry__.oracle_sql``: docs_minhash_clusters,
+docs_simhash_pairs are hash-verified, not rows-only).
+
+Cluster assignment (``near_dup_clusters``) is distributed min-label
+propagation: per round, labels co-partition with the symmetrized edge
+list by a node-hash bucket, neighbor messages are generated in-bucket,
+and a ``groupby(node).min`` reduces — O(diameter) rounds, each a
+bounded shuffle of (node, label) rows. The edge list is never
+materialized on the driver, so it holds when edges exceed driver
+memory; only the final (doc, cluster) result (output-sized) comes back.
+
+Reference parity: mirrors the dedup semantics a corpus-curation stack
+needs around OpenMatch/NeuScraper's extraction core (the reference
+itself dedups per-url only — src/warc/get_text.py keeps one text per
+url); these operators extend that to corpus-level near-dup at scale.
 """
 
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
+
+from neuscraper_ray.config import NUM_BUCKETS
+from neuscraper_ray.functions import polyhash as ph
 
 # ---------------------------------------------------------------- exact
 
@@ -61,80 +77,74 @@ def exact_dedup(
 
 # ------------------------------------------------------------- minhash
 
-_MERSENNE = (1 << 61) - 1
-
 
 def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """Hashed word k-shingles (crc32), sorted unique."""
-    words = text.lower().split()
-    if len(words) < k:
-        joined = " ".join(words)
-        return np.array([zlib.crc32(joined.encode())], dtype=np.uint64)
-    out = np.empty(len(words) - k + 1, dtype=np.uint64)
-    for i in range(len(words) - k + 1):
-        out[i] = zlib.crc32(" ".join(words[i : i + k]).encode())
-    return np.unique(out)
+    """Sorted-unique 32-bit word-k-shingle hashes of one text
+    (``polyhash`` contract; vectorized)."""
+    dw = ph.DocWords([text])
+    sh32, _ = ph.doc_shingles32(dw, k)
+    return sh32
 
 
-def _minhash_params(n_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
-    return a, b
-
-
-def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
-    """(n_perm,) uint64 minhash signature via universal hashing."""
-    sh = _shingles(text, k)
-    # (n_perm, n_shingles) would blow up for big docs; chunk the shingles
-    sig = np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for start in range(0, len(sh), 4096):
-        block = sh[start : start + 4096]
-        h = (a[:, None] * block[None, :] + b[:, None]) % _MERSENNE
-        sig = np.minimum(sig, h.min(axis=1))
-    return sig
+def minhash_signature(
+    text: str,
+    a: np.ndarray | None = None,
+    b: np.ndarray | None = None,
+    k: int = 3,
+) -> np.ndarray:
+    """(n_perm,) uint64 minhash signature via the exact mod-prime
+    universal family (a*s + b stays < 2^63 — no uint64 wrap)."""
+    if a is None or b is None:
+        a, b = ph.minhash_params()
+    dw = ph.DocWords([text])
+    sh32, shdoc = ph.doc_shingles32(dw, k)
+    return ph.minhash_sigs(sh32, shdoc, 1, a, b)[0]
 
 
 class MinHasher:
-    """Actor-pool stage: text -> LSH band rows (band, band_hash, id)."""
+    """Actor-pool stage: text -> LSH band rows (doc_id, band, band_hash).
 
-    def __init__(self, n_perm: int = 64, n_bands: int = 16, shingle_k: int = 3):
+    One vectorized pass per batch (codepoint decode -> word hashes ->
+    shingles -> signatures -> band folds); state (the permutation
+    params) built once per actor."""
+
+    def __init__(self, n_perm: int = ph.N_PERM, n_bands: int = ph.N_BANDS, shingle_k: int = 3):
         assert n_perm % n_bands == 0
-        self.a, self.b = _minhash_params(n_perm)
+        self.a, self.b = ph.minhash_params(n_perm)
         self.n_bands = n_bands
-        self.rows_per_band = n_perm // n_bands
         self.k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
         return minhash_signature(text, self.a, self.b, self.k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
+        ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        out_id, out_band, out_hash, out_sig = [], [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.signature(t)
-            for band in range(self.n_bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                out_id.append(i)
-                out_band.append(band)
-                out_hash.append(int(zlib.crc32(chunk.tobytes())))
-            out_sig.append(sig)
+        dw = ph.DocWords(texts)
+        sh32, shdoc = ph.doc_shingles32(dw, self.k)
+        sigs = ph.minhash_sigs(sh32, shdoc, len(texts), self.a, self.b)
+        bh = ph.band_hashes(sigs, self.n_bands)  # (n_docs, n_bands)
+        n_docs = len(texts)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": np.repeat(ids, self.n_bands),
+                "band": np.tile(np.arange(self.n_bands, dtype=np.int32), n_docs),
+                "band_hash": bh.reshape(-1).view(np.int64),  # < M: sign-safe
             }
         )
 
 
 def minhash_candidate_pairs(
-    ds: ray.data.Dataset, n_perm: int = 64, n_bands: int = 16, shingle_k: int = 3
+    ds: ray.data.Dataset,
+    n_perm: int = ph.N_PERM,
+    n_bands: int = ph.N_BANDS,
+    shingle_k: int = 3,
+    num_buckets: int = NUM_BUCKETS,
 ) -> ray.data.Dataset:
     """Dataset(doc_id, text) -> Dataset(id_a, id_b) candidate near-dup pairs.
 
-    Pairs sharing any LSH band bucket; deduplicated on (id_a, id_b).
+    Pairs sharing any LSH band bucket; may repeat across coarse buckets
+    (different bands) — consumers treat the pair list as a multiset.
     """
     bands = ds.map_batches(
         MinHasher(n_perm, n_bands, shingle_k),
@@ -148,7 +158,7 @@ def minhash_candidate_pairs(
     # inside each coarse bucket the per-bucket pair generation is one
     # vectorized self-merge.
     def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
-        df["coarse"] = (df["band_hash"] % 64).astype(np.int32)
+        df["coarse"] = (df["band_hash"] % num_buckets).astype(np.int32)
         return df
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -160,8 +170,6 @@ def minhash_candidate_pairs(
         ]
         return out.drop_duplicates()
 
-    # pairs may still repeat across coarse buckets (different bands);
-    # callers dedupe the (small) pair list.
     return (
         bands.map_batches(add_coarse, batch_format="pandas")
         .groupby("coarse")
@@ -191,76 +199,204 @@ def verify_jaccard_pairs(
     return out
 
 
+# ------------------------------------------- distributed label propagation
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: process-stable int -> uint64 mix for
+    bucketing (never ``builtins.hash`` — per-process salt)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+# Below this many edge rows the cluster graph trivially fits one
+# process and the distributed rounds' shuffle overhead dominates, so
+# propagate_min_labels collects and runs the vectorized local fixpoint.
+DRIVER_EDGE_LIMIT = 2_000_000
+
+
+def _local_min_labels(edges: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized (no per-edge Python loop) min-label fixpoint on a
+    local edge list -> DataFrame(doc_id, cluster_id)."""
+    edges = edges.drop_duplicates(["id_a", "id_b"])
+    nodes = pd.unique(pd.concat([edges["id_a"], edges["id_b"]], ignore_index=True))
+    lab = pd.Series(nodes, index=nodes)
+    while True:
+        la = edges["id_a"].map(lab).to_numpy()
+        lb = edges["id_b"].map(lab).to_numpy()
+        m = pd.DataFrame(
+            {
+                "n": np.concatenate([edges["id_a"].to_numpy(), edges["id_b"].to_numpy()]),
+                "c": np.concatenate([lb, la]),
+            }
+        )
+        new = m.groupby("n")["c"].min()
+        new = np.minimum(lab, new.reindex(lab.index).fillna(lab).astype(np.int64))
+        if new.equals(lab):
+            break
+        lab = new
+    out = pd.DataFrame({"doc_id": lab.index.to_numpy(), "cluster_id": lab.to_numpy()})
+    return out.astype({"doc_id": np.int64, "cluster_id": np.int64}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def propagate_min_labels(
+    edges: ray.data.Dataset,
+    num_buckets: int = NUM_BUCKETS,
+    max_rounds: int = 64,
+    driver_edge_limit: int = DRIVER_EDGE_LIMIT,
+) -> pd.DataFrame:
+    """Connected-component min labels over an undirected edge Dataset
+    (id_a, id_b) -> DataFrame(doc_id, cluster_id).
+
+    Size switch (both paths tested for equality in
+    ``tests/test_polyhash.py``):
+
+    - edge count <= ``driver_edge_limit``: the edge list is collected
+      and labeled with a VECTORIZED pandas fixpoint (no per-edge Python
+      loop). A near-dup edge list this small is driver-trivial; the
+      distributed rounds below would spend more on shuffle constants
+      than the whole job.
+    - above the limit: distributed min-label propagation. Per round:
+      labels co-partition with the symmetrized edges on bucket(node),
+      neighbor messages ``(nbr, label(node))`` are emitted in-bucket
+      (vectorized pandas merge), and ``groupby(node).min`` reduces.
+      Labels only decrease, so a fixpoint is detected by an unchanged
+      global label sum (one cheap aggregate per round). Rounds needed =
+      component diameter; LSH components are near-cliques (band
+      buckets connect most members directly), so this converges in a
+      handful of bounded shuffles without ever holding the edge list
+      in one process.
+    """
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy()
+        b = t.column("id_b").to_numpy()
+        node = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        return pa.table(
+            {
+                "bucket": (_mix64(node) % np.uint64(num_buckets)).astype(np.int32),
+                "node": node,
+                "other": nbr,
+                "is_label": np.zeros(len(node), dtype=bool),
+            }
+        )
+
+    # materialized once: every round re-consumes the edge blocks without
+    # re-running the upstream candidate-pair pipeline (lineage re-exec)
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    n_sym = sym.count()
+    if n_sym == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype=np.int64),
+                "cluster_id": pd.Series(dtype=np.int64),
+            }
+        )
+    if n_sym <= 2 * driver_edge_limit:  # sym holds both directions
+        edf = sym.to_pandas()
+        return _local_min_labels(
+            pd.DataFrame({"id_a": edf["node"], "id_b": edf["other"]})
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy()
+        other = t.column("other").to_numpy()
+        return pa.table({"node": node, "cand": np.minimum(node, other)})
+
+    labels = (
+        sym.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("cand", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy()
+        label = t.column("label").to_numpy()
+        return pa.table(
+            {
+                "bucket": (_mix64(node) % np.uint64(num_buckets)).astype(np.int32),
+                "node": node,
+                "other": label,
+                "is_label": np.ones(len(node), dtype=bool),
+            }
+        )
+
+    def emit_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["is_label"]]
+        edge = df[~df["is_label"]]
+        # label(node) flows to each neighbor + stays on node itself
+        m = edge.merge(
+            lab[["node", "other"]].rename(columns={"other": "label"}), on="node"
+        )
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([m["other"].to_numpy(), lab["node"].to_numpy()]),
+                "cand": np.concatenate([m["label"].to_numpy(), lab["other"].to_numpy()]),
+            }
+        )
+
+    for _ in range(max_rounds):
+        msgs = (
+            sym.union(labels.map_batches(label_rows, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(emit_msgs, batch_format="pandas")
+        )
+        labels = (
+            msgs.groupby("node").aggregate(Min("cand", alias_name="label")).materialize()
+        )
+        new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
+    out = out.astype({"doc_id": np.int64, "cluster_id": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def near_dup_clusters(
     ds: ray.data.Dataset,
-    n_perm: int = 64,
-    n_bands: int = 16,
+    n_perm: int = ph.N_PERM,
+    n_bands: int = ph.N_BANDS,
     shingle_k: int = 3,
+    num_buckets: int = NUM_BUCKETS,
 ) -> pd.DataFrame:
     """-> DataFrame(doc_id, cluster_id) for docs in any near-dup pair;
-    cluster_id = min doc_id reachable over candidate edges (min-label
-    propagation until fixpoint)."""
-    edges = minhash_candidate_pairs(ds, n_perm, n_bands, shingle_k).to_pandas()
-    edges = edges.drop_duplicates(["id_a", "id_b"])
-    if edges.empty:
-        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64), "cluster_id": pd.Series(dtype=np.int64)})
-    label: dict[int, int] = {}
-    for i in pd.unique(pd.concat([edges["id_a"], edges["id_b"]])):
-        label[int(i)] = int(i)
-    changed = True
-    while changed:
-        changed = False
-        for ia, ib in edges[["id_a", "id_b"]].itertuples(index=False):
-            la, lb = label[ia], label[ib]
-            m = min(la, lb)
-            if la != m:
-                label[ia] = m
-                changed = True
-            if lb != m:
-                label[ib] = m
-                changed = True
-    out = pd.DataFrame(
-        {"doc_id": list(label.keys()), "cluster_id": list(label.values())}
-    ).sort_values("doc_id")
-    return out.reset_index(drop=True)
+    cluster_id = min doc_id reachable over candidate edges (distributed
+    min-label propagation — see ``propagate_min_labels``)."""
+    edges = minhash_candidate_pairs(ds, n_perm, n_bands, shingle_k, num_buckets)
+    return propagate_min_labels(edges, num_buckets)
 
 
 # -------------------------------------------------------------- simhash
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over lowercase word unigrams (md5-derived bits).
-
-    Per-word hashing stays in Python (md5 is C-speed); the 64-bit
-    unpack + signed accumulation is one batched numpy op over all
-    words, not one per word."""
-    words = text.lower().split()
-    if not words:
-        return 0
-    hs = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
-            for w in words
-        ),
-        dtype=np.uint64,
-        count=len(words),
-    )
-    shifts = np.arange(64, dtype=np.uint64)
-    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-    acc = (2 * bits - 1).sum(axis=0)
-    out_bits = (acc > 0).astype(np.uint64)
-    return int((out_bits << shifts).sum())
+    """64-bit SimHash (``polyhash`` contract: +-1 vote per word
+    occurrence by each bit of the 64-bit word hash)."""
+    return int(ph.simhashes(ph.DocWords([text]))[0])
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    sh = [simhash64(t) for t in batch.column(text_col).to_pylist()]
-    return batch.append_column(
-        "simhash", pa.array(np.array(sh, dtype=np.uint64).astype(np.int64))
-    )
+    sims = ph.simhashes(ph.DocWords(batch.column(text_col).to_pylist()))
+    return batch.append_column("simhash", pa.array(sims, pa.int64()))
 
 
 def simhash_near_dup_pairs(
-    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_buckets: int = NUM_BUCKETS,
 ) -> pd.DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 4-band
     blocking (any pair within distance 3 shares at least one exact
@@ -286,7 +422,7 @@ def simhash_near_dup_pairs(
                 "band": np.concatenate(out_band),
                 "key": np.concatenate(out_key),
                 "simhash": np.concatenate(out_sim),
-                "coarse": (np.concatenate(out_key) % 64).astype(np.int32),
+                "coarse": (np.concatenate(out_key) % num_buckets).astype(np.int32),
             }
         )
         return t
@@ -302,7 +438,7 @@ def simhash_near_dup_pairs(
                 {
                     "id_a": pd.Series(dtype=np.int64),
                     "id_b": pd.Series(dtype=np.int64),
-                    "hamming": pd.Series(dtype=np.int32),
+                    "hamming": pd.Series(dtype=np.int64),
                 }
             )
         x = m["simhash_a"].to_numpy().astype(np.uint64) ^ m["simhash_b"].to_numpy().astype(np.uint64)
@@ -316,7 +452,7 @@ def simhash_near_dup_pairs(
             {
                 "id_a": m[f"{id_col}_a"].to_numpy()[keep],
                 "id_b": m[f"{id_col}_b"].to_numpy()[keep],
-                "hamming": ham[keep].astype(np.int32),
+                "hamming": ham[keep],
             }
         ).drop_duplicates(["id_a", "id_b"])
 
@@ -327,6 +463,6 @@ def simhash_near_dup_pairs(
     )
     df = pairs.to_pandas()
     if df.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "hamming": pd.Series(dtype=np.int32)})
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "hamming": pd.Series(dtype=np.int64)})
     df = df.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return df.reset_index(drop=True)

@@ -1,0 +1,434 @@
+"""Shared polynomial-hash family (Mersenne prime 2^61-1) for the
+near-dup / fingerprint operators — vectorized numpy kernels with
+EXACTLY SQL-expressible semantics, so MinHash-LSH clusters, SimHash
+pairs and document fingerprints are value-verifiable against a DuckDB
+oracle (see ``__ray_entry__.oracle_sql``), not rows-only.
+
+Semantics (the contract both numpy and SQL implement):
+
+- ``codes(text)``   = UTF-32 codepoints of the text.
+- ``lower``         = ASCII-only lowering (codepoints 65..90 -> +32);
+  engine-independent, unlike locale/unicode ``str.lower``.
+- ``words(text)``   = maximal runs of codepoints not in the ASCII
+  whitespace set {9,10,11,12,13,32}.
+- ``fingerprint``   = fold h=0; h = (h*257 + c) % M over RAW codes.
+- ``word_hash(w,B)``= fold h=1; h = (h*B + c) % M over LOWERED codes
+  (init 1 so leading characters are length-distinguishing).
+- ``wh64(w)``       = (word_hash(w,263) mod 2^32) * 2^32
+                      + (word_hash(w,271) mod 2^32)  — simhash bits.
+- ``simhash(text)`` = for each of 64 bits, sum +-1 over words by that
+  bit of wh64; bit set iff sum > 0; zero words -> 0. Stored int64
+  (two's complement of the uint64 pattern).
+- ``shingles(text,k=3)`` = word-level k-gram fold h=0;
+  h = (h*1000003 + word_hash(w,263)) % M over each window; a doc with
+  0 < n < k words yields ONE shingle over all n words; 0 words yields
+  the single shingle 0. Each reduced mod 2^32, then unique per doc.
+- ``minhash_j``     = min over shingles s of (a_j*s + b_j) % M with
+  a_j in [1,2^31), b_j in [0,2^31) from RandomState(1234) — products
+  stay < 2^63 so the mod-prime universal family is exact (no uint64
+  wrap).
+- ``band_hash``     = fold h=0; h = (h*1000003 + sig_j) % M over the 4
+  signature values of a band (16 bands x 4 perms).
+
+Everything below 2^61 stays exact in uint64 via 32-bit-limb ``mulmod``;
+DuckDB replicates with HUGEINT arithmetic (SQL builders at the bottom).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MOD = (1 << 61) - 1
+BASE_FP = 257
+BASE_W1 = 263
+BASE_W2 = 271
+BASE_S = 1000003
+N_PERM = 64
+N_BANDS = 16
+MINHASH_SEED = 1234
+WHITESPACE = (9, 10, 11, 12, 13, 32)
+
+_M = np.uint64(MOD)
+_MASK32 = np.uint64(0xFFFFFFFF)
+_U = np.uint64
+
+
+def _red(x: np.ndarray) -> np.ndarray:
+    """uint64 (any value) -> x mod M, elementwise."""
+    x = (x >> _U(61)) + (x & _M)  # < M + 8
+    return x - (x >= _M).astype(np.uint64) * _M
+
+
+def mulmod(a, b) -> np.ndarray:
+    """(a * b) mod M for uint64 operands < 2^61, exact, vectorized.
+
+    32-bit-limb decomposition; 2^64 = 8 (mod 2^61-1)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    ah, al = a >> _U(32), a & _MASK32
+    bh, bl = b >> _U(32), b & _MASK32
+    m = ah * bl + al * bh  # < 2^62
+    hi = ah * bh + (m >> _U(32))  # < 2^58 + 2^30
+    t1 = _red(hi << _U(3))
+    t2 = _red((m & _MASK32) << _U(32))
+    t3 = _red(al * bl)
+    return _red(t1 + t2 + t3)
+
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def pow_table(base: int, n: int) -> np.ndarray:
+    """[base^0, .., base^(n-1)] mod M (uint64), cached + doubling-grown."""
+    arr = _POW_CACHE.get(base)
+    if arr is None:
+        arr = np.array([1, base], dtype=np.uint64)
+    while len(arr) < n:
+        arr = np.concatenate([arr, mulmod(arr, mulmod(arr[-1], _U(base)))])
+    _POW_CACHE[base] = arr
+    return arr
+
+
+# ------------------------------------------------------- batch analysis
+
+
+def batch_codes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """-> (codes: concatenated uint32 codepoints, doc_offsets: (n+1,))."""
+    bufs = [t.encode("utf-32-le") for t in texts]
+    lens = np.fromiter((len(b) >> 2 for b in bufs), dtype=np.int64, count=len(bufs))
+    offsets = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    codes = (
+        np.frombuffer(b"".join(bufs), dtype=np.uint32)
+        if bufs
+        else np.empty(0, dtype=np.uint32)
+    )
+    return codes, offsets
+
+
+def _segsum_mod(terms: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Sum of uint64 terms (< M) over [starts_i, ends_i) mod M.
+
+    hi/lo 32-bit split keeps the cumulative sums exact for any batch
+    under 2^31 total characters (far above real batch sizes)."""
+    hi = np.zeros(len(terms) + 1, dtype=np.uint64)
+    lo = np.zeros(len(terms) + 1, dtype=np.uint64)
+    np.cumsum(terms >> _U(32), out=hi[1:])
+    np.cumsum(terms & _MASK32, out=lo[1:])
+    h = _red(hi[ends] - hi[starts])
+    l = _red(lo[ends] - lo[starts])
+    return _red(mulmod(h, _U(1) << _U(32)) + l)
+
+
+def fingerprints(texts: list[str]) -> np.ndarray:
+    """Vectorized document fingerprint per text -> int64 array.
+
+    Equals ``fold h=0; h = (h*257 + ord(c)) % M`` — the closed form
+    sum_i c_i * 257^(n-1-i) mod M, one batched mulmod + segment sum."""
+    codes, off = batch_codes(texts)
+    n = len(texts)
+    if len(codes) == 0:
+        return np.zeros(n, dtype=np.int64)
+    doc_len = off[1:] - off[:-1]
+    pos = np.arange(len(codes), dtype=np.int64) - np.repeat(off[:-1], doc_len)
+    exp = np.repeat(doc_len, doc_len) - 1 - pos
+    pw = pow_table(BASE_FP, int(doc_len.max()) + 1)
+    terms = mulmod(codes.astype(np.uint64), pw[exp])
+    return _segsum_mod(terms, off[:-1], off[1:]).astype(np.int64)
+
+
+def _word_spans(
+    codes: np.ndarray, doc_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (starts, ends, word_doc): maximal non-whitespace runs, never
+    crossing document boundaries; word_doc is ascending."""
+    n = len(codes)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    nonsep = ~np.isin(codes, np.array(WHITESPACE, dtype=np.uint32))
+    boundary = np.zeros(n + 1, dtype=bool)  # [i] = doc break before i
+    boundary[doc_offsets] = True
+    prev_in = np.concatenate([[False], nonsep[:-1]]) & ~boundary[:-1]
+    next_in = np.concatenate([nonsep[1:], [False]]) & ~boundary[1:]
+    starts = np.nonzero(nonsep & ~prev_in)[0]
+    ends = np.nonzero(nonsep & ~next_in)[0] + 1
+    word_doc = np.searchsorted(doc_offsets, starts, side="right") - 1
+    return starts, ends, word_doc
+
+
+def _lower(codes: np.ndarray) -> np.ndarray:
+    return codes + np.uint32(32) * ((codes >= 65) & (codes <= 90)).astype(np.uint32)
+
+
+def _word_hashes(
+    codes_l: np.ndarray, starts: np.ndarray, ends: np.ndarray, base: int
+) -> np.ndarray:
+    """Per-word polynomial hash (init 1) over lowered codes -> uint64 < M."""
+    lengths = ends - starts
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64)
+    cum = np.cumsum(lengths)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(cum - lengths, lengths)
+    gidx = np.repeat(starts, lengths) + pos
+    exp = np.repeat(lengths, lengths) - 1 - pos
+    pw = pow_table(base, int(lengths.max()) + 1)
+    terms = mulmod(codes_l[gidx].astype(np.uint64), pw[exp])
+    body = _segsum_mod(terms, cum - lengths, cum)
+    return _red(body + pw[lengths])  # + base^len: the init-1 term
+
+
+class DocWords:
+    """One pass of per-batch text analysis shared by simhash + minhash."""
+
+    def __init__(self, texts: list[str]):
+        codes, self.doc_offsets = batch_codes(texts)
+        self.n_docs = len(texts)
+        starts, ends, self.word_doc = _word_spans(codes, self.doc_offsets)
+        codes_l = _lower(codes)
+        self.h1 = _word_hashes(codes_l, starts, ends, BASE_W1)
+        self.h2 = _word_hashes(codes_l, starts, ends, BASE_W2)
+        # word index range per doc
+        self.wstart = np.searchsorted(self.word_doc, np.arange(self.n_docs), "left")
+        self.wend = np.searchsorted(self.word_doc, np.arange(self.n_docs), "right")
+
+
+def simhashes(dw: DocWords) -> np.ndarray:
+    """64-bit SimHash per doc -> int64 array (0 for zero-word docs)."""
+    out = np.zeros(dw.n_docs, dtype=np.uint64)
+    if len(dw.h1) == 0:
+        return out.view(np.int64)
+    wh64 = ((dw.h1 & _MASK32) << _U(32)) | (dw.h2 & _MASK32)
+    shifts = np.arange(64, dtype=np.uint64)
+    signs = (((wh64[:, None] >> shifts[None, :]) & _U(1)).astype(np.int64) * 2) - 1
+    cum = np.zeros((len(wh64) + 1, 64), dtype=np.int64)
+    np.cumsum(signs, axis=0, out=cum[1:])
+    acc = cum[dw.wend] - cum[dw.wstart]  # (n_docs, 64)
+    bits = (acc > 0).astype(np.uint64)
+    out = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return out.view(np.int64)
+
+
+def doc_shingles32(dw: DocWords, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """-> (shingle32: uint64 < 2^32 sorted-unique within doc,
+           shingle_doc: ascending doc index per shingle).
+
+    Zero-word docs contribute the single shingle 0; docs with 0 < n < k
+    words contribute one shingle over all n words."""
+    n_words_per_doc = dw.wend - dw.wstart
+    bs = _U(BASE_S)
+    sh_parts: list[np.ndarray] = []
+    doc_parts: list[np.ndarray] = []
+
+    full = np.nonzero(n_words_per_doc >= k)[0]
+    if len(full):
+        h = dw.h1
+        # windows fully inside one doc: start word w valid if
+        # word_doc[w] == word_doc[w + k - 1]
+        valid = np.nonzero(dw.word_doc[: len(h) - k + 1] == dw.word_doc[k - 1 :])[0]
+        s = np.zeros(len(valid), dtype=np.uint64)
+        for j in range(k):
+            s = _red(mulmod(s, bs) + h[valid + j])
+        sh_parts.append(s & _MASK32)
+        doc_parts.append(dw.word_doc[valid])
+
+    short = np.nonzero((n_words_per_doc > 0) & (n_words_per_doc < k))[0]
+    for d in short:  # rare tail; tiny docs only
+        s = np.zeros(1, dtype=np.uint64)
+        for w in range(dw.wstart[d], dw.wend[d]):
+            s = _red(mulmod(s, bs) + dw.h1[w])
+        sh_parts.append(s & _MASK32)
+        doc_parts.append(np.array([d], dtype=np.int64))
+
+    empty = np.nonzero(n_words_per_doc == 0)[0]
+    if len(empty):
+        sh_parts.append(np.zeros(len(empty), dtype=np.uint64))
+        doc_parts.append(empty.astype(np.int64))
+
+    if not sh_parts:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    sh = np.concatenate(sh_parts)
+    doc = np.concatenate(doc_parts)
+    order = np.lexsort((sh, doc))
+    sh, doc = sh[order], doc[order]
+    keep = np.concatenate([[True], (doc[1:] != doc[:-1]) | (sh[1:] != sh[:-1])])
+    return sh[keep], doc[keep]
+
+
+def minhash_params(
+    n_perm: int = N_PERM, seed: int = MINHASH_SEED
+) -> tuple[np.ndarray, np.ndarray]:
+    """a in [1, 2^31), b in [0, 2^31): a*s + b < 2^63 for 32-bit
+    shingles, so the mod-M universal family is exact in uint64."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 31, size=n_perm).astype(np.uint64)
+    b = rng.randint(0, 1 << 31, size=n_perm).astype(np.uint64)
+    return a, b
+
+
+def minhash_sigs(
+    sh32: np.ndarray,
+    sh_doc: np.ndarray,
+    n_docs: int,
+    a: np.ndarray,
+    b: np.ndarray,
+) -> np.ndarray:
+    """(n_docs, n_perm) uint64 signatures; every doc has >= 1 shingle."""
+    n_perm = len(a)
+    if n_docs == 0:
+        return np.empty((0, n_perm), dtype=np.uint64)
+    h = (a[None, :] * sh32[:, None] + b[None, :]) % _M  # < 2^63, exact
+    starts = np.searchsorted(sh_doc, np.arange(n_docs), "left")
+    return np.minimum.reduceat(h, starts, axis=0)
+
+
+def band_hashes(sigs: np.ndarray, n_bands: int = N_BANDS) -> np.ndarray:
+    """(n_docs, n_bands) uint64: fold of each band's signature chunk."""
+    n_docs, n_perm = sigs.shape
+    rows = n_perm // n_bands
+    chunk = sigs.reshape(n_docs, n_bands, rows)
+    bs = _U(BASE_S)
+    bh = np.zeros((n_docs, n_bands), dtype=np.uint64)
+    for j in range(rows):
+        bh = _red(mulmod(bh, bs) + chunk[:, :, j])
+    return bh
+
+
+# --------------------------------------------------------- SQL builders
+#
+# Snippets the DuckDB oracle composes; they implement the SAME contract
+# as the numpy kernels above (HUGEINT keeps every product exact).
+
+SQL_WS_PATTERN = r"[ \t\n\v\f\r]+"  # backslashes reach RE2 uninterpreted
+
+
+def sql_word_list(text_expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex({text_expr}, '{SQL_WS_PATTERN}'), "
+        "w -> w != '')"
+    )
+
+
+def sql_word_hash(word_expr: str, base: int) -> str:
+    """Fold init 1 over ASCII-lowered codepoints, mod M (HUGEINT)."""
+    codes = (
+        f"list_transform(str_split({word_expr}, ''), "
+        "c -> (CASE WHEN ord(c) BETWEEN 65 AND 90 THEN ord(c)+32 "
+        "ELSE ord(c) END)::HUGEINT)"
+    )
+    return (
+        f"list_reduce(list_prepend(1::HUGEINT, {codes}), "
+        f"(acc, c) -> (acc*{base} + c) % {MOD})"
+    )
+
+
+def sql_fingerprint(text_expr: str) -> str:
+    """Fold init 0 over RAW codepoints, base 257, mod M -> BIGINT."""
+    codes = f"list_transform(str_split({text_expr}, ''), c -> ord(c)::HUGEINT)"
+    return (
+        f"CASE WHEN {text_expr} = '' THEN 0 ELSE "
+        f"list_reduce({codes}, (acc, c) -> (acc*{BASE_FP} + c) % {MOD})::BIGINT END"
+    )
+
+
+def sql_pow2_values() -> str:
+    """Inline (bit, 2^bit) table for 64 bits, HUGEINT powers."""
+    rows = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    return f"(VALUES {rows}) p2(bit, pw)"
+
+
+def sql_minhash_perm_values() -> str:
+    """Inline (j, a_j, b_j) table matching ``minhash_params()``."""
+    a, b = minhash_params()
+    rows = ", ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)" for j in range(len(a))
+    )
+    return f"(VALUES {rows}) perms(j, a, b)"
+
+
+def sql_simhash_pairs(table: str = "documents", max_hamming: int = 3) -> str:
+    """Full DuckDB statement: all pairs with Hamming(simhash) <=
+    max_hamming -> (id_a, id_b, hamming BIGINT). Value-identical to
+    ``dedup.simhash_near_dup_pairs`` (the 4-band blocking there is
+    exhaustive for distance <= 3 by pigeonhole, so exact all-pairs SQL
+    is the right oracle)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest({sql_word_list('text')}) AS word FROM {table}
+),
+wh AS (
+  SELECT doc_id,
+    (({sql_word_hash('word', BASE_W1)} % 4294967296) * 4294967296
+     + ({sql_word_hash('word', BASE_W2)} % 4294967296))::HUGEINT AS wh64
+  FROM w
+),
+bits AS (
+  SELECT doc_id, p2.bit, sum(CASE WHEN (wh64 // p2.pw) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM wh CROSS JOIN {sql_pow2_values()} GROUP BY doc_id, p2.bit
+),
+simu AS (
+  SELECT b.doc_id, sum(CASE WHEN b.acc > 0 THEN p2.pw ELSE 0 END)::HUGEINT AS v
+  FROM bits b JOIN {sql_pow2_values()} ON b.bit = p2.bit GROUP BY b.doc_id
+),
+sh AS (
+  SELECT d.doc_id,
+    coalesce((CASE WHEN s.v >= 9223372036854775808 THEN s.v - 18446744073709551616
+              ELSE s.v END)::BIGINT, 0) AS s
+  FROM {table} d LEFT JOIN simu s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
+def sql_minhash_clusters(table: str = "documents", k: int = 3) -> str:
+    """Full DuckDB statement: MinHash-LSH candidate edges -> connected
+    components -> (doc_id, cluster_id BIGINT = min reachable id).
+    Value-identical to ``dedup.near_dup_clusters`` (same shingles,
+    signatures, band folds; closure via recursive CTE)."""
+    assert k == 3, "SQL builder hard-codes the k=3 window indexing"
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {sql_word_list('text')} AS ws FROM {table}
+),
+hw AS (
+  SELECT doc_id, list_transform(ws, w -> {sql_word_hash('w', BASE_W1)}) AS hs FROM d
+),
+shin AS (
+  SELECT doc_id, CASE
+    WHEN len(hs) = 0 THEN [0::HUGEINT]
+    WHEN len(hs) < 3 THEN [list_reduce(list_prepend(0::HUGEINT, hs),
+                                       (acc,x) -> (acc*{BASE_S} + x) % {MOD})]
+    ELSE list_transform(range(1, len(hs)-1),
+           i -> (((hs[i]*{BASE_S} + hs[i+1]) % {MOD})*{BASE_S} + hs[i+2]) % {MOD})
+  END AS sh FROM hw
+),
+shu AS (
+  SELECT DISTINCT doc_id, sv % 4294967296 AS s32
+  FROM (SELECT doc_id, unnest(sh) AS sv FROM shin)
+),
+sig AS (
+  SELECT doc_id, perms.j, min((perms.a * s32 + perms.b) % {MOD}) AS sv
+  FROM shu CROSS JOIN {sql_minhash_perm_values()} GROUP BY doc_id, perms.j
+),
+bandsig AS (
+  SELECT doc_id, (j // 4)::INT AS band,
+    list_reduce(list_prepend(0::HUGEINT, list(sv ORDER BY j)),
+                (acc,x) -> (acc*{BASE_S} + x) % {MOD}) AS bh
+  FROM sig GROUP BY doc_id, j // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bandsig a JOIN bandsig b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+nodes AS (SELECT u AS id FROM cand UNION SELECT v FROM cand),
+sym AS (SELECT u, v FROM cand UNION ALL SELECT v AS u, u AS v FROM cand),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN sym e ON r.dst = e.u
+)
+SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id FROM reach GROUP BY src
+"""

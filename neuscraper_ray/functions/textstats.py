@@ -55,14 +55,12 @@ def word_stats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
 
 def fingerprint_batch(batch: pa.Table, column: str = "text", out: str = "fingerprint") -> pa.Table:
     """64-bit rolling (polynomial) hash of the text — a cheap document
-    fingerprint for shard-level dedup indexes. Deterministic; pure
-    Python arithmetic on codepoints (base 257, mod 2^61-1)."""
-    MOD = (1 << 61) - 1
-    BASE = 257
-    fps = np.empty(len(batch), dtype=np.int64)
-    for i, t in enumerate(batch.column(column).to_pylist()):
-        h = 0
-        for ch in t:
-            h = (h * BASE + ord(ch)) % MOD
-        fps[i] = h & 0x7FFFFFFFFFFFFFFF
+    fingerprint for shard-level dedup indexes. Deterministic (base 257,
+    mod 2^61-1); one batched numpy pass over the whole batch's
+    codepoints (``polyhash.fingerprints``), and SQL-verifiable —
+    DuckDB reproduces it with a ``list_reduce`` fold
+    (``polyhash.sql_fingerprint``)."""
+    from neuscraper_ray.functions.polyhash import fingerprints
+
+    fps = fingerprints(batch.column(column).to_pylist())
     return batch.append_column(out, pa.array(fps))

@@ -168,7 +168,9 @@ def docs_langid(sf_dir: str):
 
 
 def docs_minhash_clusters(sf_dir: str):
-    """MinHash-LSH near-dup clusters (approximate, rows-only check)."""
+    """MinHash-LSH near-dup clusters, SQL-verified: the polyhash
+    contract is reproduced value-for-value by a DuckDB oracle
+    (shingles -> signatures -> band folds -> recursive-CTE closure)."""
     from neuscraper_ray.functions.dedup import near_dup_clusters
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -176,7 +178,9 @@ def docs_minhash_clusters(sf_dir: str):
 
 
 def docs_simhash_pairs(sf_dir: str):
-    """SimHash near-dup pairs, Hamming <= 3 (approximate, rows-only)."""
+    """SimHash near-dup pairs, Hamming <= 3 — SQL-verified (the 4-band
+    blocking is exhaustive for distance <= 3 by pigeonhole, so exact
+    all-pairs Hamming SQL is a complete oracle)."""
     from neuscraper_ray.functions.dedup import simhash_near_dup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -184,7 +188,8 @@ def docs_simhash_pairs(sf_dir: str):
 
 
 def docs_fingerprint(sf_dir: str):
-    """Rolling-hash fingerprint per document (rows-only)."""
+    """Rolling-hash fingerprint per document (SQL-verified: DuckDB
+    reproduces the base-257 mod-2^61-1 fold via list_reduce)."""
     from neuscraper_ray.functions.textstats import fingerprint_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -294,11 +299,31 @@ def events_rolling_count(sf_dir: str):
 
 
 def events_sample(sf_dir: str):
-    """Seeded random sample + seeded shuffle (O4 parity; Ray's sampler
-    is engine-specific so this is a rows-only check — determinism is
-    asserted by the test suite instead of a SQL oracle)."""
+    """Seeded shuffle (O4 parity) + DETERMINISTIC 5% hash sample: keep
+    a row iff the first 8 hex chars of md5(event_id) mod 20 == 0.
+
+    Unlike a seeded ``random_sample`` (engine-specific RNG, rows-only
+    checkable), the kept SET is engine-independent — the DuckDB oracle
+    reproduces it exactly. Hash-sampling is also the scale-correct
+    semantics: it streams with zero shuffle and re-runs pick the same
+    rows. The ``random_shuffle(seed=7)`` stays to exercise the seeded
+    shuffle operator; the driver compare is order-insensitive."""
+    import hashlib
+
     ds = _read(sf_dir, "events", ["event_id", "event_type"])
-    return ds.random_shuffle(seed=7).random_sample(0.05, seed=42)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        mask = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 20 == 0
+                for i in df["event_id"].tolist()
+            ),
+            dtype=bool,
+            count=len(df),
+        )
+        return df[mask]
+
+    return ds.random_shuffle(seed=7).map_batches(keep, batch_format="pandas")
 
 
 def events_distinct_types(sf_dir: str):

@@ -8,12 +8,12 @@ import ray.data
 from neuscraper_ray.functions.ann import brute_force_topk, lsh_topk, pairwise_cosine_pairs
 from neuscraper_ray.functions.dedup import (
     minhash_signature,
-    _minhash_params,
     near_dup_clusters,
     simhash64,
     simhash_near_dup_pairs,
     verify_jaccard_pairs,
 )
+from neuscraper_ray.functions.polyhash import minhash_params as _minhash_params
 from neuscraper_ray.functions.multimodal import ImageDecoder, decode_images, fake_image, gen_media_table
 from neuscraper_ray.functions.tokenizer import EOS_ID, PAD_ID, HashTokenizer
 
