@@ -174,10 +174,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         # rows-only, each with a rationale:
         # - docs_langid: trained hashed-ngram softmax model — not SQL-
-        #   expressible; accuracy asserted vs the corpus lang column in
-        #   tests/test_filters.py.
-        # - ann_topk_lsh: approximate by design (hyperplane LSH); its
-        #   recall@10 vs the exact ann_topk is asserted in tests.
+        #   expressible; behavior asserted on known-language sentences
+        #   in tests/test_filters.py (the synthetic documents.lang
+        #   column is metadata unrelated to the text, so corpus
+        #   agreement is not a meaningful oracle).
+        # - ann_topk_lsh / ann_topk_ivf: approximate by design
+        #   (hyperplane LSH / inverted lists); recall@10 vs the exact
+        #   ann_topk is asserted in tests/test_functions.py.
         # - curate_labels / curate_drop_reasons: full HTML parse +
         #   neural-scorer pipeline — non-SQL; byte-identical text per
         #   url is asserted against the shared-function oracle in

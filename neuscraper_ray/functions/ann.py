@@ -23,10 +23,13 @@ import ray.data
 
 
 def _stack(batch_col, dtype=np.float32) -> np.ndarray:
-    """Arrow list<float> column -> (n, d) matrix (zero-copy-ish)."""
+    """Arrow list<float> (or Ray tensor-extension) column -> (n, d)
+    matrix (zero-copy-ish)."""
     arr = batch_col.combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.chunk(0)
+    if not hasattr(arr, "values"):  # ArrowTensorArray et al.
+        return np.asarray(arr.to_numpy(zero_copy_only=False)).astype(dtype)
     values = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
     n = len(arr)
     return values.reshape(n, -1)
@@ -90,14 +93,20 @@ def lsh_topk(
 ) -> pd.DataFrame:
     """Approximate cosine top-k: only rows whose hyperplane bucket is
     within ``multiprobe_hamming`` of the query's bucket are scored."""
+    from itertools import combinations
+
     dim = len(query)
     hasher = _HyperplaneHasher(dim, n_bits)
     q = _normalize(query.reshape(1, -1).astype(np.float32))
     qh = int(hasher.hash(q)[0])
+    # probe every bucket within Hamming distance `multiprobe_hamming`
     probe = {qh}
-    if multiprobe_hamming >= 1:
-        for b in range(n_bits):
-            probe.add(qh ^ (1 << b))
+    for d in range(1, multiprobe_hamming + 1):
+        for bits in combinations(range(n_bits), d):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe.add(qh ^ flip)
     probe_arr = np.array(sorted(probe))
     q_ref = ray.put((q, probe_arr))
 
@@ -191,21 +200,36 @@ def ivf_topk(
     return cand.reset_index(drop=True)
 
 
+# Above this many rows the full-matrix broadcast would hold O(n*d)
+# floats in every worker AND materialize the table on the driver, so
+# pairwise_cosine_pairs switches to the IVF-bucketed variant.
+BROADCAST_ROW_LIMIT = 200_000
+
+
 def pairwise_cosine_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
 ) -> ray.data.Dataset:
-    """Exact all-pairs cosine >= threshold -> Dataset(id_a, id_b, cosine).
+    """All-pairs cosine >= threshold -> Dataset(id_a, id_b, cosine).
 
-    The full (normalized) matrix is broadcast once via ``ray.put`` and
-    each batch multiplies against it — O(n^2) flops but O(n*d) bytes
-    moved, embarrassingly parallel over row blocks. For corpora whose
-    matrix exceeds a node's memory, chunk the broadcast side (IVF-style
-    coarse buckets first); this exact variant doubles as the oracle for
-    the approximate paths.
+    Size switch (both paths tested in ``tests/test_functions.py``):
+
+    - n <= ``broadcast_row_limit``: EXACT path. The full normalized
+      matrix is broadcast once via ``ray.put`` and each batch
+      multiplies against it — O(n^2) flops but O(n*d) bytes moved,
+      embarrassingly parallel over row blocks. This is also the oracle
+      for the approximate paths.
+    - above the limit: ``pairwise_cosine_pairs_bucketed`` — IVF coarse
+      buckets (each vector assigned to its ``n_assign`` nearest
+      centroids), exact pairs within each bucket. Reported pairs are
+      exact cosines (full precision); pairs whose members share no
+      common coarse list are missed (recall bound tested).
     """
+    if ds.count() > broadcast_row_limit:
+        return pairwise_cosine_pairs_bucketed(ds, threshold, id_col, vec_col)
     whole = ds.to_pandas()
     ids_all = whole[id_col].to_numpy()
     m_all = _normalize(np.stack(whole[vec_col].to_numpy()).astype(np.float32))
@@ -227,3 +251,80 @@ def pairwise_cosine_pairs(
         )
 
     return ds.map_batches(block, batch_format="pyarrow", batch_size=2048)
+
+
+def pairwise_cosine_pairs_bucketed(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    n_assign: int = 2,
+) -> ray.data.Dataset:
+    """IVF-bucketed near-pair search — the 100-TB shape.
+
+    ``n_lists`` defaults to ~one list per 8k assigned rows (coarse
+    enough that clusters stay whole, fine enough that the in-bucket
+    matmul stays cache-sized).
+
+    Each vector is shuffled to its ``n_assign`` nearest coarse
+    centroids (so near-boundary pairs still co-locate); within each
+    list an exact all-pairs matmul emits pairs >= threshold; a final
+    coarse-bucketed dedup drops pairs found in two shared lists. Bytes
+    shuffled: n_assign x the embedding table, partitioned by list — no
+    node ever holds the full matrix and the driver holds nothing.
+    Misses only pairs whose members share no common list; for a
+    near-dup detector (high threshold, clustered data) that tail is
+    small — measured in ``tests/test_functions.py``.
+    """
+    if n_lists is None:
+        n_lists = max(8, -(-ds.count() * n_assign // 8192))
+    cent = ivf_build(ds, n_lists, id_col, vec_col)
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_stack(batch.column(vec_col)))
+        k = min(n_assign, len(c))
+        top = np.argpartition(-(m @ c.T), k - 1, axis=1)[:, :k]
+        n = len(m)
+        vecs = batch.column(vec_col).combine_chunks()
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.chunk(0)
+        return pa.table(
+            {
+                "list_id": top.reshape(-1).astype(np.int32),
+                id_col: np.repeat(batch.column(id_col).to_numpy(), k),
+                vec_col: vecs.take(pa.array(np.repeat(np.arange(n), k))),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float32))
+        sims = m @ m.T
+        ia, ib = np.nonzero(sims >= threshold)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cosine": sims[ia[keep], ib[keep]].astype(np.float64),
+                "pbucket": (
+                    (ids[ia[keep]].astype(np.uint64) * np.uint64(2654435761)
+                     ^ ids[ib[keep]].astype(np.uint64))
+                    % np.uint64(64)
+                ).astype(np.int32),
+            }
+        )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "cosine"]]
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("list_id")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedup, batch_format="pandas")
+    )

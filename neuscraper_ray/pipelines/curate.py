@@ -33,6 +33,7 @@ from dataclasses import dataclass
 
 import ray.data
 
+from neuscraper_ray.config import NUM_BUCKETS
 from neuscraper_ray.stages.assemble import add_bucket
 from neuscraper_ray.stages.extract import extract_nodes_batch
 from neuscraper_ray.stages.scorer import NodeScorer
@@ -43,7 +44,7 @@ class CurateConfig:
     parse_batch_size: int = 32        # PAGES per extract+score task (html is wide)
     score_batch_size: int = 4096      # node rows per scorer batch (actor path)
     scorer_actors: int | tuple = (2, 8)  # actor pool size, fused_scorer=False path
-    num_buckets: int = 64             # assembly shuffle fan-in (>= cluster cores)
+    num_buckets: int = NUM_BUCKETS    # assembly shuffle fan-in (>= cluster cores)
     fused_scorer: bool = True         # explicit extract+score fusion (see
     # stages.scorer.extract_score_batch); set False to run the scorer as
     # a separate actor pool — the right shape when the node model needs

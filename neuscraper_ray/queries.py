@@ -27,6 +27,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from neuscraper_ray.config import NUM_BUCKETS
+
 # --------------------------------------------------------------- helpers
 
 
@@ -236,7 +238,7 @@ def events_user_sessions(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = (df["user_id"] % 64).astype(np.int32)
+        df["bucket"] = (df["user_id"] % NUM_BUCKETS).astype(np.int32)
         return df
 
     def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -270,7 +272,7 @@ def events_rolling_count(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = (df["user_id"] % 64).astype(np.int32)
+        df["bucket"] = (df["user_id"] % NUM_BUCKETS).astype(np.int32)
         return df
 
     def windows(df: pd.DataFrame) -> pd.DataFrame:
@@ -462,7 +464,7 @@ def order_line_concat(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = (df["l_orderkey"] % 64).astype(np.int32)
+        df["bucket"] = (df["l_orderkey"] % NUM_BUCKETS).astype(np.int32)
         return df
 
     def concat_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -546,7 +548,27 @@ def ann_topk_lsh(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
         lambda r: r["vec_id"] != 0
     )
-    top = lsh_topk(ds, query, k=10)
+    # hamming-2 multiprobe: the synthetic embeddings are near-random
+    # (weak neighbor structure), so recall tracks the probed fraction;
+    # clustered real corpora need far fewer probes for the same recall
+    top = lsh_topk(ds, query, k=10, multiprobe_hamming=2)
+    return top[["vec_id", "cosine"]]
+
+
+def ann_topk_ivf(sf_dir: str):
+    """IVF-probed approximate top-10 (the inverted-list scale path;
+    rows-only: approximate by design — recall@10 vs the exact
+    ``ann_topk`` is asserted in tests/test_functions.py)."""
+    from neuscraper_ray.functions.ann import ivf_topk
+
+    qdf = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(lambda r: r["vec_id"] == 0).to_pandas()
+    query = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        lambda r: r["vec_id"] != 0
+    )
+    top = ivf_topk(ds, query, k=10)
     return top[["vec_id", "cosine"]]
 
 
@@ -642,6 +664,7 @@ ALL_QUERIES = {
     "lineitem_global_metrics": lineitem_global_metrics,
     "ann_topk": ann_topk,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_pairs": embedding_near_pairs,
     "curate_labels": curate_labels,
     "curate_drop_reasons": curate_drop_reasons,

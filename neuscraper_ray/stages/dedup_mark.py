@@ -11,14 +11,18 @@ Two-pass, shuffle-minimal design:
 
 The all-to-all exchange therefore moves 16-byte hashes + urls, and the
 document table itself is touched in place. At extreme duplicate rates
-(canonical map too big to broadcast) swap step 2 for a bucketed join
-keyed by the same content hash; the projection pass is unchanged.
+(canonical map too big to broadcast) marking switches automatically
+to a single content-hash-bucketed shuffle of the doc rows, in which
+each bucket decides its groups locally — no canonical index exists
+anywhere. Both paths are asserted equal in
+tests/test_curate_pipeline.py.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -36,10 +40,11 @@ def _hash_batch(batch: pa.Table, column: str) -> pa.Table:
     )
 
 
-def build_canonical_map(
+def canonical_dups(
     docs: ray.data.Dataset, column: str = "extracted_text"
-) -> dict[str, str]:
-    """-> {content_hash: canonical_url} for groups with >=2 members.
+) -> ray.data.Dataset:
+    """-> Dataset(content_hash, canonical_url) for groups with >=2
+    members — the duplicate-group index, still distributed.
 
     Empty texts are excluded (every empty page would otherwise form one
     giant duplicate group).
@@ -58,41 +63,108 @@ def build_canonical_map(
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         import zlib
 
+        from neuscraper_ray.config import NUM_BUCKETS
+
         # deterministic across processes (never builtins.hash — that is
         # salted per interpreter and would split groups between workers)
-        df["b"] = [zlib.crc32(h.encode()) & 63 for h in df["content_hash"]]
+        df["b"] = [zlib.crc32(h.encode()) % NUM_BUCKETS for h in df["content_hash"]]
         return df
 
-    dup = (
+    return (
         proj.map_batches(add_bucket, batch_format="pandas", batch_size=None)
         .groupby("b")
         .map_groups(dup_groups, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def build_canonical_map(
+    docs: ray.data.Dataset, column: str = "extracted_text"
+) -> dict[str, str]:
+    """Driver-side {content_hash: canonical_url} (the broadcast path)."""
+    dup = canonical_dups(docs, column).to_pandas()
     return dict(zip(dup["content_hash"], dup["canonical_url"]))
 
 
+# Above this many duplicate groups the canonical map stops being a
+# cheap ray.put broadcast and mark_duplicates switches to the
+# content-hash-bucketed group-mark shuffle.
+BROADCAST_CANON_LIMIT = 1_000_000
+
+
 def mark_duplicates(
-    docs: ray.data.Dataset, column: str = "extracted_text"
+    docs: ray.data.Dataset,
+    column: str = "extracted_text",
+    broadcast_limit: int = BROADCAST_CANON_LIMIT,
 ) -> ray.data.Dataset:
     """Append ``dup_of``: canonical url for non-canonical exact dups,
     "" otherwise. Two passes over ``docs`` (it is re-executed for the
     projection; pass a materialized/checkpointed dataset when upstream
-    is expensive)."""
-    canon = build_canonical_map(docs, column)
-    canon_ref = ray.put(canon)
+    is expensive).
 
-    def mark(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(canon_ref)
-        texts = batch.column(column).to_pylist()
-        urls = batch.column("url").to_pylist()
-        dup_of = []
-        for t, u in zip(texts, urls):
-            if not t:
-                dup_of.append("")
-                continue
-            c = cmap.get(hashlib.md5(t.encode("utf-8")).hexdigest(), "")
-            dup_of.append("" if c in ("", u) else c)
-        return batch.append_column("dup_of", pa.array(dup_of, pa.string()))
+    Size switch: at or below ``broadcast_limit`` duplicate groups the
+    canonical map ships once via ``ray.put`` and every batch marks
+    locally (zero shuffle of doc rows); above it the doc rows are
+    shuffled ONCE by a coarse bucket of their content hash and each
+    bucket marks its groups locally (min-url canonical) — the honest
+    all-to-all cost when the dup index itself is cluster-sized, with
+    no index built at all."""
+    canon_ds = canonical_dups(docs, column).materialize()
+    if canon_ds.count() <= broadcast_limit:
+        canon = dict(
+            zip(*(canon_ds.to_pandas()[c] for c in ("content_hash", "canonical_url")))
+        )
+        canon_ref = ray.put(canon)
 
-    return docs.map_batches(mark, batch_format="pyarrow", batch_size=None)
+        def mark(batch: pa.Table) -> pa.Table:
+            cmap = ray.get(canon_ref)
+            texts = batch.column(column).to_pylist()
+            urls = batch.column("url").to_pylist()
+            dup_of = []
+            for t, u in zip(texts, urls):
+                if not t:
+                    dup_of.append("")
+                    continue
+                c = cmap.get(hashlib.md5(t.encode("utf-8")).hexdigest(), "")
+                dup_of.append("" if c in ("", u) else c)
+            return batch.append_column("dup_of", pa.array(dup_of, pa.string()))
+
+        return docs.map_batches(mark, batch_format="pyarrow", batch_size=None)
+
+    from neuscraper_ray.config import NUM_BUCKETS
+
+    out_cols = list(docs.schema().names) + ["dup_of"]
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() if t else ""
+            for t in df[column].tolist()
+        ]
+        df["content_hash"] = hs
+        df["hbucket"] = np.fromiter(
+            (zlib.crc32(h.encode()) % NUM_BUCKETS for h in hs),
+            dtype=np.int32,
+            count=len(hs),
+        )
+        return df
+
+    def mark_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # every member of a content-hash group lands in this bucket, so
+        # canonical (min url) and membership are decidable locally
+        dup_of = pd.Series("", index=df.index, dtype=object)
+        ne = df[df["content_hash"] != ""]
+        if len(ne):
+            g = ne.groupby("content_hash", sort=False)["url"]
+            cmin = g.transform("min")
+            csize = g.transform("size")
+            hit = (csize > 1) & (ne["url"] != cmin)
+            dup_of.loc[ne.index[hit]] = cmin[hit]
+        df["dup_of"] = dup_of
+        return df[out_cols]
+
+    return (
+        docs.map_batches(add_hash, batch_format="pandas", batch_size=None)
+        .groupby("hbucket")
+        .map_groups(mark_bucket, batch_format="pandas")
+    )

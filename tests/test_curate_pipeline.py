@@ -105,6 +105,26 @@ def test_mark_duplicates_stage(pages_table):
         assert r["dup_of"] < r["url"]
 
 
+def test_mark_duplicates_join_fallback_matches_broadcast(pages_table):
+    """broadcast_limit=0 forces the distributed content-hash join path;
+    it must mark exactly the same dup_of set as the broadcast path."""
+    from neuscraper_ray.pipelines.curate import curate
+    from neuscraper_ray.stages.dedup_mark import mark_duplicates
+
+    ds = ray.data.from_arrow(pages_table).repartition(8)
+    docs = curate(ds, CurateConfig(num_buckets=16)).materialize()
+    bc = mark_duplicates(docs).to_pandas().sort_values("url").reset_index(drop=True)
+    jn = (
+        mark_duplicates(docs, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert sorted(bc.columns) == sorted(jn.columns)
+    pd.testing.assert_series_equal(bc["dup_of"], jn["dup_of"])
+    assert (bc["dup_of"] != "").any()
+
+
 def test_actor_pool_scorer_path_matches_oracle(pages_table, oracle_df):
     """The non-fused variant (separate NodeScorer actor pool over node
     rows — the GPU-model shape) must produce identical output."""
