@@ -185,4 +185,7 @@ def oracle_sql() -> dict[str, str]:
         #   neural-scorer pipeline — non-SQL; byte-identical text per
         #   url is asserted against the shared-function oracle in
         #   tests/test_curate_pipeline.py.
+        # - pages_annotation_offsets: M15 annotation export (HTML parse
+        #   + renderer offsets) — non-SQL; semantics pinned in
+        #   tests/test_annotation_export.py.
     }

@@ -626,6 +626,19 @@ def curate_labels(sf_dir: str):
     ]
 
 
+def pages_annotation_offsets(sf_dir: str):
+    """M15 export over the synthetic pages corpus: one row per
+    annotation span (url, annotation, node_id, start, end). Rows-only:
+    the operator is an HTML parse + renderer walk (non-SQL); its
+    semantics are pinned by tests/test_annotation_export.py."""
+    from neuscraper_ray.annotation_export import export_annotations_batch
+
+    pages = ray.data.read_parquet(_pages_dir_for(sf_dir), columns=["url", "html"])
+    return pages.map_batches(
+        export_annotations_batch, batch_format="pyarrow", batch_size=32
+    )
+
+
 def curate_drop_reasons(sf_dir: str):
     """Drop-reason histogram of the flagship pipeline (rows-only)."""
     from neuscraper_ray.pipelines.curate import CurateConfig, curate
@@ -668,4 +681,5 @@ ALL_QUERIES = {
     "embedding_near_pairs": embedding_near_pairs,
     "curate_labels": curate_labels,
     "curate_drop_reasons": curate_drop_reasons,
+    "pages_annotation_offsets": pages_annotation_offsets,
 }
