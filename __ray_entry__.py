@@ -124,6 +124,13 @@ def oracle_sql() -> dict[str, str]:
             "RANGE BETWEEN INTERVAL 15 MINUTE PRECEDING AND CURRENT ROW)::BIGINT "
             "AS n_15min FROM events"
         ),
+        "events_asof_join": (
+            "SELECT p.event_id, v.ts AS view_ts, "
+            "date_diff('microsecond', v.ts, p.ts)::BIGINT AS gap_us "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+            "ON p.user_id = v.user_id AND p.ts >= v.ts"
+        ),
         "events_distinct_types": "SELECT DISTINCT event_type FROM events",
         "events_top_users": (
             "SELECT user_id, round(sum(value), 2) AS total_value "

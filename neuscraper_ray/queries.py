@@ -328,6 +328,66 @@ def events_sample(sf_dir: str):
     return ds.random_shuffle(seed=7).map_batches(keep, batch_format="pandas")
 
 
+def events_asof_join(sf_dir: str):
+    """As-of join (custom operator Ray Data lacks): each purchase event
+    matched to the user's most recent view event at-or-before its ts.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    both sides co-partition on ``user_id % NUM_BUCKETS``, so every
+    (purchase, candidate-view) pair meets inside one bucket; in-bucket
+    the match is two vectorized ``searchsorted`` calls per user over
+    ts-sorted frames. Emits microsecond-exact gaps so the DuckDB
+    ``ASOF JOIN`` oracle agrees bit-for-bit; ties on (user, ts) are
+    payload-neutral (we emit the matched ts, not an id)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["user_id"] % NUM_BUCKETS).astype(np.int32)
+        return df
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        out_id, out_vts, out_gap = [], [], []
+        for _, g in df.groupby("user_id", sort=False):
+            views = g[g["event_type"] == "view"]
+            buys = g[g["event_type"] == "purchase"]
+            if views.empty or buys.empty:
+                continue
+            vts = views["ts"].to_numpy()
+            bts = buys["ts"].to_numpy()
+            ix = np.searchsorted(vts, bts, side="right") - 1
+            ok = ix >= 0
+            if not ok.any():
+                continue
+            out_id.append(buys["event_id"].to_numpy()[ok])
+            matched = vts[ix[ok]]
+            out_vts.append(matched)
+            out_gap.append(
+                (bts[ok] - matched).astype("timedelta64[us]").astype(np.int64)
+            )
+        if not out_id:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype=np.int64),
+                    "view_ts": pd.Series(dtype="datetime64[us]"),
+                    "gap_us": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "event_id": np.concatenate(out_id),
+                "view_ts": np.concatenate(out_vts),
+                "gap_us": np.concatenate(out_gap),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
+    )
+
+
 def events_distinct_types(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))
@@ -668,6 +728,7 @@ ALL_QUERIES = {
     "events_user_sessions": events_user_sessions,
     "events_rolling_count": events_rolling_count,
     "events_sample": events_sample,
+    "events_asof_join": events_asof_join,
     "events_distinct_types": events_distinct_types,
     "events_top_users": events_top_users,
     "q1_pricing": q1_pricing,
