@@ -95,15 +95,139 @@ def apply_rules(
     return flags, s
 
 
+_STATS_KEYS = [
+    "n_words",
+    "mean_word_len",
+    "symbol_word_ratio",
+    "alpha_word_ratio",
+    "stopword_hits",
+    "distinct_word_ratio",
+    "has_brace",
+]
+
+# Python str.split() treats \x1c-\x1f as whitespace; Unicode White_Space
+# (what the Rust regex \S in the vectorized path uses) does not. Texts
+# containing them fall back to the per-doc reference implementation.
+import re as _re
+
+_NONUNICODE_WS_RE = _re.compile("[\x1c-\x1f]")
+
+
+def _stats_vectorized(texts: list[str]) -> "np.ndarray":
+    """(n, 7) float64 matrix of quality_stats values, one polars pass.
+
+    Column order is ``_STATS_KEYS``. Bit-identical to per-doc
+    ``quality_stats`` (asserted in tests): the ratio divisions are the
+    same IEEE float64 ops, word splitting/lowering/stripping run on the
+    same Unicode definitions.
+    """
+    import numpy as np
+    import polars as pl
+
+    n = len(texts)
+    pf = pl.DataFrame({"text": pl.Series(texts, dtype=pl.String)})
+    doc = pf.select(
+        [
+            pl.col("text").str.count_matches("#", literal=True).alias("n_hash"),
+            pl.col("text").str.count_matches("...", literal=True).alias("n_ell"),
+            pl.col("text").str.contains(BRACE_CHAR, literal=True).alias("has_brace"),
+        ]
+    )
+    words = (
+        pf.select(pl.col("text").str.extract_all(r"\S+").alias("w"))
+        .with_row_index("i")
+        .explode("w")
+        .drop_nulls("w")
+    )
+    agg = (
+        words.with_columns(
+            [
+                pl.col("w").str.len_chars().alias("wlen"),
+                pl.col("w").str.contains(r"\p{L}").alias("alpha"),
+                pl.col("w").str.to_lowercase().alias("lower"),
+            ]
+        )
+        .with_columns(pl.col("lower").str.strip_chars(".,!?;:").alias("stripped"))
+        .group_by("i")
+        .agg(
+            [
+                pl.len().alias("n_words"),
+                pl.col("wlen").sum().alias("total_len"),
+                pl.col("alpha").sum().alias("n_alpha"),
+                pl.col("stripped").is_in(list(_EN_STOP_MIN)).sum().alias("stop_hits"),
+                pl.col("lower").n_unique().alias("n_distinct"),
+            ]
+        )
+    )
+    nw = np.zeros(n, dtype=np.int64)
+    tl = np.zeros(n, dtype=np.int64)
+    na = np.zeros(n, dtype=np.int64)
+    sh = np.zeros(n, dtype=np.int64)
+    nd = np.zeros(n, dtype=np.int64)
+    ii = agg["i"].to_numpy().astype(np.int64)
+    nw[ii] = agg["n_words"].to_numpy()
+    tl[ii] = agg["total_len"].to_numpy()
+    na[ii] = agg["n_alpha"].to_numpy()
+    sh[ii] = agg["stop_hits"].to_numpy()
+    nd[ii] = agg["n_distinct"].to_numpy()
+    n_sym = (doc["n_hash"].to_numpy() + doc["n_ell"].to_numpy()).astype(np.int64)
+    safe = np.where(nw > 0, nw, 1).astype(np.float64)
+    pos = nw > 0
+    out = np.zeros((n, 7), dtype=np.float64)
+    out[:, 0] = nw
+    out[:, 1] = np.where(pos, tl / safe, 0.0)
+    out[:, 2] = np.where(pos, n_sym / safe, 0.0)
+    out[:, 3] = np.where(pos, na / safe, 0.0)
+    out[:, 4] = np.where(pos, sh, 0)
+    out[:, 5] = np.where(pos, nd / safe, 0.0)
+    out[:, 6] = doc["has_brace"].to_numpy()
+    return out
+
+
 def heuristics_batch(df: pd.DataFrame, column: str = "extracted_text") -> pd.DataFrame:
-    flags_col: list[list[str]] = []
-    n_words_col: list[int] = []
-    br = df["bullet_ratio"].tolist() if "bullet_ratio" in df.columns else [0.0] * len(df)
-    er = df["ellipsis_ratio"].tolist() if "ellipsis_ratio" in df.columns else [0.0] * len(df)
-    for t, b, e in zip(df[column].tolist(), br, er):
-        flags, s = apply_rules(t, b, e)
-        flags_col.append(flags)
-        n_words_col.append(s["n_words"])
+    """Vectorized batch application of ``apply_rules`` (same outputs).
+
+    Stats run batch-wide in polars/numpy (one Rust pass over the
+    exploded word list instead of per-word Python); the rule
+    thresholds are then boolean masks and the per-doc flag lists are
+    assembled from a small (n, n_rules) matrix. Docs containing
+    \\x1c-\\x1f (Python-only whitespace) use the per-doc reference path.
+    """
+    import numpy as np
+
+    texts = df[column].tolist()
+    n = len(texts)
+    br = (
+        df["bullet_ratio"].to_numpy()
+        if "bullet_ratio" in df.columns
+        else np.zeros(n)
+    )
+    er = (
+        df["ellipsis_ratio"].to_numpy()
+        if "ellipsis_ratio" in df.columns
+        else np.zeros(n)
+    )
+    m = _stats_vectorized(texts)
+    for i, t in enumerate(texts):
+        if _NONUNICODE_WS_RE.search(t):
+            s = quality_stats(t)
+            m[i] = [float(s[k]) for k in _STATS_KEYS]
+    nw, mwl, swr, awr, sh, dwr, brace = (m[:, j] for j in range(7))
+    checks = [
+        ("too_few_words", nw < MIN_WORDS),
+        ("too_many_words", nw > MAX_WORDS),
+        ("mean_word_len", ~((MIN_MEAN_WORD_LEN <= mwl) & (mwl <= MAX_MEAN_WORD_LEN))),
+        ("symbol_ratio", swr > MAX_SYMBOL_WORD_RATIO),
+        ("alpha_ratio", awr < MIN_ALPHA_WORD_RATIO),
+        ("stopwords", sh < MIN_STOPWORD_HITS),
+        ("repetition", (nw <= REPETITION_MAX_WORDS) & (dwr < MIN_DISTINCT_WORD_RATIO)),
+        ("brace", brace > 0),
+        ("bullet_lines", (nw >= MIN_WORDS) & (br > MAX_BULLET_LINE_RATIO)),
+        ("ellipsis_lines", (nw >= MIN_WORDS) & (er > MAX_ELLIPSIS_LINE_RATIO)),
+    ]
+    names = [c[0] for c in checks]
+    mat = np.column_stack([c[1] for c in checks])
+    flags_col = [[names[j] for j in np.flatnonzero(mat[i])] for i in range(n)]
     df["quality_flags"] = flags_col
-    df["n_words"] = pd.Series(n_words_col, index=df.index, dtype="int32")
+    df["n_words"] = pd.Series(nw.astype("int32"), index=df.index, dtype="int32")
     return df

@@ -51,13 +51,16 @@ def _featurize(texts: list[str]) -> np.ndarray:
     bi = (big[:-1] * 131 + big[1:]) & mask
     v2 = node_of[:-1] == node_of[1:]
     idx2 = node_of[:-1][v2] * _DIM + bi[v2]
-    # trigrams (offset hash space by a different multiplier)
-    counts = np.bincount(idx2, minlength=n * _DIM).astype(np.float32)
     if len(big) >= 3:
+        # trigrams share the hash space; ONE bincount over the
+        # concatenated index list (integer counts are exact, so summing
+        # before the single float32 cast is bit-identical to casting
+        # each bincount separately — and saves two 41M-element passes)
         tri = ((big[:-2] * 131 + big[1:-1]) * 131 + big[2:]) & mask
         v3 = node_of[:-2] == node_of[2:]
         idx3 = node_of[:-2][v3] * _DIM + tri[v3]
-        counts += np.bincount(idx3, minlength=n * _DIM).astype(np.float32)
+        idx2 = np.concatenate([idx2, idx3])
+    counts = np.bincount(idx2, minlength=n * _DIM).astype(np.float32)
     out = counts.reshape(n, _DIM)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

@@ -79,3 +79,68 @@ def test_verdict_priority():
     assert decide("t", "en", 1.0, ["stopwords"], 0) == (False, "heuristic:stopwords")
     assert decide("t", "en", 1.0, [], 2) == (False, "toxicity")
     assert decide("t", "en", 1.0, [], 0) == (True, "")
+
+
+def test_vectorized_heuristics_matches_per_doc():
+    """heuristics_batch (polars-vectorized) must reproduce apply_rules
+    exactly — flags, order, and n_words — including Unicode edge cases
+    and the \\x1c-\\x1f Python-whitespace fallback path."""
+    import numpy as np
+    import pandas as pd
+
+    from neuscraper_ray.stages.heuristics import heuristics_batch
+
+    texts = [
+        "",
+        " ",
+        "...",
+        "####",
+        "a" * 5000,
+        "the be to of and that have with ok",
+        "word\x1cword the be to of and that have with more words here now",
+        "café straße 中文字符 the be to of and that have",
+        "num3r1c w0rds 111 222 ... # {brace}",
+        "İstanbul ǈub the be to of and that have with trĩm",
+        "dots......six #two# more the be to of and that have ok",
+        " nbsp\xa0and\x85nel the be to of and that have ok",
+        "the, be. to! of? and; that: have with punct-stripped stopwords",
+        " ".join(["dup dup"] * 400),
+    ]
+    br = [0.95, 0, 0, 0, 0, 0, 0.5, 0, 0, 0, 1.0, 0, 0, 0.2]
+    er = [0.5, 0, 0, 0, 0, 0.31, 0, 0, 0, 0, 0.4, 0, 0, 0.0]
+    df = pd.DataFrame(
+        {"extracted_text": texts, "bullet_ratio": br, "ellipsis_ratio": er}
+    )
+    out = heuristics_batch(df.copy())
+    for i, (t, b, e) in enumerate(zip(texts, br, er)):
+        flags, s = apply_rules(t, b, e)
+        assert out["quality_flags"][i] == flags, (i, t[:40])
+        assert int(out["n_words"][i]) == s["n_words"], (i, t[:40])
+
+
+def test_gated_scrub_matches_ungated():
+    """scrub_text's prescan gates must not change any output."""
+    import re
+
+    from neuscraper_ray.stages.scrub import PII_PATTERNS, _TOXIC_RE
+
+    def ungated(text):
+        pii = 0
+        for _n, p, r in PII_PATTERNS:
+            text, k = p.subn(r, text)
+            pii += k
+        text, tox = _TOXIC_RE.subn("<TOX>", text)
+        return text, pii, tox
+
+    cases = [
+        "",
+        "clean words only here",
+        "x 123-45-6789 y test@example.com (555) 123-4567 10.0.0.1",
+        "BADWORD1 and slurword too",
+        "digits 12345 but no pii",
+        "at sign only a@b",
+        "4111 1111 1111 1111 card",
+        "email.with.digits99@host.tld then 078-05-1120",
+    ]
+    for t in cases:
+        assert scrub_text(t) == ungated(t), t
