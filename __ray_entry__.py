@@ -55,6 +55,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_simhash_pairs": polyhash.sql_simhash_pairs("documents"),
         "docs_minhash_clusters": polyhash.sql_minhash_clusters("documents"),
+        "docs_decontaminate": polyhash.sql_decontaminate("documents"),
+        "docs_token_quantiles": (
+            "SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p, "
+            "unnest(quantile_disc(n_tokens, [0.25, 0.5, 0.75, 0.9, 0.99]))::BIGINT "
+            "AS value FROM (SELECT len(str_split(text, ' '))::BIGINT AS n_tokens "
+            "FROM documents)"
+        ),
+        "docs_top_terms": (
+            "SELECT term, count(*)::BIGINT AS n FROM ("
+            "SELECT unnest(list_filter(string_split_regex(text, "
+            "'[ \\t\\n\\x0b\\x0c\\r]+'), w -> w != '')) AS term FROM documents) "
+            "GROUP BY term ORDER BY n DESC, term ASC LIMIT 20"
+        ),
         "events_sample": (
             "SELECT event_id, event_type FROM events "
             "WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 20 = 0"

@@ -1,0 +1,110 @@
+"""Benchmark decontamination: flag training documents that share
+word-shingles with a benchmark/eval set.
+
+The standard large-scale recipe (GPT-3 appendix C / Gopher §A.3): hash
+every k-word shingle of the benchmark set into a membership structure,
+broadcast it, and scan the corpus once, counting per-document overlap.
+Benchmark sets are small by construction (an eval suite, not a second
+corpus), so the broadcast side stays tiny even at 100 TB of corpus:
+the distinct-shingle array for a benchmark of B total words is <= B
+uint32s, shipped once per node via ``ray.put`` and read zero-copy by
+every task. If the "benchmark" were itself corpus-sized, the right
+shape is a shuffle join keyed on shingle hash (both sides bucketed by
+``s32 % num_buckets``) — not implemented because it contradicts the
+operator's contract.
+
+Shingles are the SAME polyhash word-3-gram contract the MinHash
+family uses (``polyhash.doc_shingles32``), so the whole operator is
+value-verifiable against DuckDB (``polyhash.sql_decontaminate``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from neuscraper_ray.functions.polyhash import DocWords, doc_shingles32
+
+DEFAULT_MODULUS = 20  # doc_id % modulus == 0 -> benchmark member
+
+
+def _doc_shingles(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    dw = DocWords(texts)
+    return doc_shingles32(dw)
+
+
+def benchmark_shingle_array(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = DEFAULT_MODULUS,
+) -> np.ndarray:
+    """Distinct shingles of the benchmark rows -> sorted uint64 array.
+
+    Per-batch unique (map-side combiner) then a distributed ``unique``
+    over the already-thinned partials; only the final distinct set
+    (small by the operator's contract) reaches the driver.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        keep = ids % modulus == 0
+        if not keep.any():
+            return pa.table({"s32": pa.array([], pa.int64())})
+        texts = t.filter(pa.array(keep)).column(text_col).to_pylist()
+        sh32, _ = _doc_shingles(texts)
+        return pa.table({"s32": np.unique(sh32).astype(np.int64)})
+
+    vals = ds.map_batches(partial, batch_format="pyarrow").unique("s32")
+    return np.sort(np.asarray(vals, dtype=np.uint64))
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench_ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = DEFAULT_MODULUS,
+) -> ray.data.Dataset:
+    """-> (doc_id, n_shared, contaminated) for non-benchmark docs.
+
+    ``bench_ref`` is ``ray.put(benchmark_shingle_array(...))``; lookups
+    are two vectorized ``searchsorted`` passes per batch. n_shared
+    counts the doc's DISTINCT shingles present in the benchmark set.
+    """
+
+    def mark(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = t.column(id_col).to_numpy()
+        keep = ids % modulus != 0
+        ids = ids[keep]
+        texts = t.filter(pa.array(keep)).column(text_col).to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                    "contaminated": pa.array([], pa.bool_()),
+                }
+            )
+        sh32, sh_doc = _doc_shingles(texts)
+        if len(bench):
+            ix = np.searchsorted(bench, sh32)
+            ix[ix == len(bench)] = 0
+            hit = bench[ix] == sh32
+        else:
+            hit = np.zeros(len(sh32), dtype=bool)
+        n_shared = np.bincount(sh_doc[hit], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": ids.astype(np.int64),
+                "n_shared": n_shared,
+                "contaminated": n_shared > 0,
+            }
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow")

@@ -383,14 +383,12 @@ WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
 """
 
 
-def sql_minhash_clusters(table: str = "documents", k: int = 3) -> str:
-    """Full DuckDB statement: MinHash-LSH candidate edges -> connected
-    components -> (doc_id, cluster_id BIGINT = min reachable id).
-    Value-identical to ``dedup.near_dup_clusters`` (same shingles,
-    signatures, band folds; closure via recursive CTE)."""
-    assert k == 3, "SQL builder hard-codes the k=3 window indexing"
-    return f"""
-WITH RECURSIVE d AS (
+def sql_shingle_ctes(table: str = "documents") -> str:
+    """The shared CTE chain text -> distinct 32-bit word-3-gram
+    shingles per doc (``shu(doc_id, s32)``) — the SQL twin of
+    ``doc_shingles32``; composed by the minhash-cluster and
+    decontamination oracles."""
+    return f"""d AS (
   SELECT doc_id, {sql_word_list('text')} AS ws FROM {table}
 ),
 hw AS (
@@ -408,7 +406,36 @@ shin AS (
 shu AS (
   SELECT DISTINCT doc_id, sv % 4294967296 AS s32
   FROM (SELECT doc_id, unnest(sh) AS sv FROM shin)
-),
+)"""
+
+
+def sql_decontaminate(table: str = "documents", modulus: int = 20) -> str:
+    """Full DuckDB statement: benchmark-overlap decontamination ->
+    (doc_id, n_shared BIGINT, contaminated BOOLEAN) for non-benchmark
+    docs, where the benchmark set is ``doc_id % modulus = 0`` and
+    n_shared counts the doc's distinct shingles that any benchmark doc
+    also contains. Value-identical to ``decontam.decontaminate``."""
+    return f"""
+WITH {sql_shingle_ctes(table)},
+bench AS (
+  SELECT DISTINCT s32 FROM shu WHERE doc_id % {modulus} = 0
+)
+SELECT s.doc_id, count(b.s32)::BIGINT AS n_shared,
+       count(b.s32) > 0 AS contaminated
+FROM shu s LEFT JOIN bench b ON s.s32 = b.s32
+WHERE s.doc_id % {modulus} <> 0
+GROUP BY s.doc_id
+"""
+
+
+def sql_minhash_clusters(table: str = "documents", k: int = 3) -> str:
+    """Full DuckDB statement: MinHash-LSH candidate edges -> connected
+    components -> (doc_id, cluster_id BIGINT = min reachable id).
+    Value-identical to ``dedup.near_dup_clusters`` (same shingles,
+    signatures, band folds; closure via recursive CTE)."""
+    assert k == 3, "SQL builder hard-codes the k=3 window indexing"
+    return f"""
+WITH RECURSIVE {sql_shingle_ctes(table)},
 sig AS (
   SELECT doc_id, perms.j, min((perms.a * s32 + perms.b) % {MOD}) AS sv
   FROM shu CROSS JOIN {sql_minhash_perm_values()} GROUP BY doc_id, perms.j

@@ -189,6 +189,102 @@ def docs_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(ds)
 
 
+def docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3/Gopher recipe): count each
+    non-benchmark doc's word-3-gram shingles that also occur in the
+    benchmark subset (doc_id % 20 == 0). Benchmark shingle set built
+    distributed (per-batch unique -> Dataset.unique), broadcast once
+    via ray.put, looked up with vectorized searchsorted. SQL-verified
+    via the shared polyhash contract."""
+    from neuscraper_ray.functions.decontam import (
+        benchmark_shingle_array,
+        decontaminate,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = benchmark_shingle_array(ds)
+    return decontaminate(ds, ray.put(bench))
+
+
+def docs_token_quantiles(sf_dir: str):
+    """Exact distributed quantiles of per-doc token count.
+
+    Scale shape: token counts are small integers, so the full
+    distribution compresses to a (value, count) histogram — per-batch
+    ``np.unique`` partials (combiner), one tiny groupby-sum shuffle,
+    and the quantile read-off happens on the aggregated histogram
+    (thousands of rows at any corpus size, never the corpus itself).
+    Matches DuckDB ``quantile_disc`` exactly: index ceil(p*n)-1 of the
+    ascending values."""
+    import math
+
+    from neuscraper_ray.functions.textstats import token_count_batch
+
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nt = token_count_batch(t).column("n_tokens").to_numpy()
+        vals, cnts = np.unique(nt, return_counts=True)
+        return pa.table({"value": vals, "cnt": cnts.astype(np.int64)})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("value")
+    )
+    values = hist["value"].to_numpy()
+    counts = hist["cnt"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_vals = []
+    for p in ps:
+        idx = max(0, math.ceil(p * n) - 1)  # DuckDB quantile_disc
+        out_vals.append(int(values[np.searchsorted(cum, idx + 1)]))
+    return pd.DataFrame({"p": np.asarray(ps, dtype=np.float64), "value": out_vals})
+
+
+def docs_top_terms(sf_dir: str):
+    """Corpus-wide term frequency, top 20 (count desc, term asc).
+
+    The combiner pattern end-to-end: polars explode+group_by inside
+    each batch collapses the word stream to per-batch (term, n)
+    partials, the groupby-sum shuffle then moves only distinct terms,
+    and the sort/limit runs on the aggregated term table. Words are
+    maximal runs of non-ASCII-whitespace (same class as the SQL
+    oracle's regex split — engine-independent, unlike locale split)."""
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pf = pl.from_arrow(t)
+        agg = (
+            pf.select(
+                pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
+            )
+            .explode("w")
+            .drop_nulls("w")
+            .group_by("w")
+            .agg(pl.len().alias("n"))
+            .rename({"w": "term"})
+        )
+        return agg.to_arrow().cast(
+            pa.schema([("term", pa.string()), ("n", pa.int64())])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+    return agg.head(20).reset_index(drop=True)
+
+
 def docs_fingerprint(sf_dir: str):
     """Rolling-hash fingerprint per document (SQL-verified: DuckDB
     reproduces the base-257 mod-2^61-1 fold via list_reduce)."""
@@ -723,6 +819,9 @@ ALL_QUERIES = {
     "docs_minhash_clusters": docs_minhash_clusters,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_fingerprint": docs_fingerprint,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_token_quantiles": docs_token_quantiles,
+    "docs_top_terms": docs_top_terms,
     "events_type_agg": events_type_agg,
     "events_hourly": events_hourly,
     "events_user_sessions": events_user_sessions,
