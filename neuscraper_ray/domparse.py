@@ -197,11 +197,12 @@ def parse_html(html: str) -> Element:
     return root
 
 
+from html import unescape as _html_unescape
+
+
 def _unescape(text: str) -> str:
     if "&" in text:
-        from html import unescape
-
-        return unescape(text)
+        return _html_unescape(text)
     return text
 
 
@@ -225,9 +226,17 @@ def instrument(doc: Element) -> int:
         node = stack.pop()
         node.node_id = next_id
         next_id += 1
+        children = node.children
+        for child in children:
+            if type(child) is str:
+                break
+        else:
+            # no string children: nothing to wrap, push as-is
+            stack.extend(children)  # LIFO: last child explored first
+            continue
         to_push: list[Element] = []
         new_children: list[Element | str] = []
-        for child in node.children:
+        for child in children:
             if isinstance(child, str):
                 if node.tag == "span":
                     new_children.append(child)  # reference skips span text
@@ -286,16 +295,25 @@ def extract_node_sequence(html: str) -> list[tuple[int, str, str, bool, bool]]:
     if instrument(doc) == 0:
         return []
     out: list[tuple[int, str, str, bool, bool]] = []
-    for el in iter_elements(doc):
-        if el.node_id is None:
-            continue
-        if el.instrument and el.parent is not None and el.parent.tag != "noscript":
+    append = out.append
+    # inlined preorder walk (identical order to iter_elements); an
+    # instrument wrapper always holds exactly the one string it wrapped,
+    # so its text is children[0] — no subtree walk needed
+    stack = [c for c in reversed(doc.children) if isinstance(c, Element)]
+    while stack:
+        el = stack.pop()
+        if el.instrument:
+            if el.parent is not None and el.parent.tag != "noscript":
+                text = el.children[0].strip(STRIP_CHARS)
+                if text:
+                    append((el.node_id, text, "#text", True, True))
+            continue  # wrapper children are strings only
+        if el.node_id is not None and el.tag in CONTAINER_TAGS:
             text = subtree_text(el).strip(STRIP_CHARS)
-            if text:
-                out.append((el.node_id, text, "#text", True, True))
-        elif el.tag in CONTAINER_TAGS:
-            text = subtree_text(el).strip(STRIP_CHARS)
-            out.append((el.node_id, text, el.tag, False, len(text) > 0))
+            append((el.node_id, text, el.tag, False, len(text) > 0))
+        for c in reversed(el.children):
+            if isinstance(c, Element):
+                stack.append(c)
     return out
 
 
