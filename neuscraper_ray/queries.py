@@ -484,6 +484,20 @@ def events_asof_join(sf_dir: str):
     )
 
 
+def events_distinct_users_hll(sf_dir: str):
+    """Approximate distinct-user count via a mergeable HyperLogLog
+    sketch (p=14, ~0.8% expected error): per-batch 16 KiB register
+    partials, merged by elementwise max — the user_id column never
+    leaves the tasks. Rows-only by construction (approximate, no SQL
+    value oracle); the error bound vs exact distinct is pinned in
+    tests/test_functions.py."""
+    from neuscraper_ray.functions.sketch import distinct_count_hll
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est, _ = distinct_count_hll(ds, "user_id")
+    return pd.DataFrame({"estimate": np.asarray([est], dtype=np.int64)})
+
+
 def events_distinct_types(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))
@@ -828,6 +842,7 @@ ALL_QUERIES = {
     "events_rolling_count": events_rolling_count,
     "events_sample": events_sample,
     "events_asof_join": events_asof_join,
+    "events_distinct_users_hll": events_distinct_users_hll,
     "events_distinct_types": events_distinct_types,
     "events_top_users": events_top_users,
     "q1_pricing": q1_pricing,

@@ -17,6 +17,8 @@ from neuscraper_ray.functions.polyhash import minhash_params as _minhash_params
 from neuscraper_ray.functions.multimodal import ImageDecoder, decode_images, fake_image, gen_media_table
 from neuscraper_ray.functions.tokenizer import EOS_ID, PAD_ID, HashTokenizer
 
+SF_DIR = "/root/testdata/sf0.01"
+
 
 # ------------------------------------------------------------- tokenizer
 
@@ -208,3 +210,66 @@ def test_ivf_topk_recall():
     got = set(approx["vec_id"])
     assert 17 in got or 0 in got
     assert len(got & exact) >= 2
+
+
+def test_hll_registers_match_bitlength_reference():
+    """Vectorized CLZ must equal the exact bit_length computation."""
+    import numpy as np
+
+    from neuscraper_ray.functions.sketch import (
+        HLL_P,
+        hll_registers,
+        splitmix64,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [
+            rng.randint(0, 1 << 62, 5000).astype(np.uint64),
+            np.arange(100, dtype=np.uint64),
+            # adversarial: values whose hash suffix is near powers of two
+            (np.uint64(1) << np.arange(50, dtype=np.uint64)),
+        ]
+    )
+    regs = hll_registers(vals)
+    # pure-Python reference
+    ref = np.zeros(1 << HLL_P, dtype=np.uint8)
+    sb = 64 - HLL_P
+    for h in splitmix64(vals):
+        h = int(h)
+        idx = h >> sb
+        w = h & ((1 << sb) - 1)
+        rank = sb + 1 if w == 0 else sb - (w.bit_length() - 1)
+        ref[idx] = max(ref[idx], rank)
+    assert (regs == ref).all()
+
+
+def test_hll_estimate_error_bound():
+    import numpy as np
+
+    from neuscraper_ray.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    for n in (100, 5000, 200_000):
+        vals = np.arange(n, dtype=np.uint64) * 2654435761 % (1 << 61)
+        # merge partials (split into 7 chunks) == single-shot registers
+        parts = [hll_registers(c) for c in np.array_split(vals, 7)]
+        merged = hll_merge(parts)
+        assert (merged == hll_registers(vals)).all()
+        est = hll_estimate(merged)
+        assert abs(est - n) / n < 0.02, (n, est)
+
+
+def test_events_distinct_users_hll_close_to_exact():
+    import duckdb
+
+    from neuscraper_ray.queries import events_distinct_users_hll
+
+    est = int(events_distinct_users_hll(SF_DIR)["estimate"][0])
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.02, (est, exact)
