@@ -2,13 +2,15 @@
 
 The reference iterates ``.zip`` archives of per-page protobuf blobs and
 ``AnnotateHtml.ParseFromString``s each member
-(``/root/reference/src/build_test.py:193-199``). The protobuf corpus
-and library are unavailable here, so the SOURCE is generic: one task
-per zip file, each member's bytes handed to a caller-supplied decoder
-``bytes -> dict`` (the ClueWeb decoder would be
-``AnnotateHtml.ParseFromString`` + field projection; tests use a JSON
-decoder). The plumbing — ``read_binary_files`` fan-out, in-memory
-member iteration, per-member error policy (skip + count) — is real.
+(``/root/reference/src/build_test.py:193-199``). The SOURCE is
+generic — one task per zip file, each member's bytes handed to a
+caller-supplied decoder ``bytes -> dict`` — and the ClueWeb decoder is
+``protowire.decode_annotate_html``, a stdlib protobuf wire-format
+implementation of the ``AnnotateHtml`` schema (no proto lib in this
+environment; see ``sources/protowire.py``). The plumbing —
+``read_binary_files`` fan-out, in-memory member iteration, per-member
+error policy (skip + count) — matches the reference's bare-except
+member skip.
 """
 
 from __future__ import annotations
