@@ -62,6 +62,11 @@ def oracle_sql() -> dict[str, str]:
             "AS value FROM (SELECT len(str_split(text, ' '))::BIGINT AS n_tokens "
             "FROM documents)"
         ),
+        "docs_length_quantiles_by_lang": (
+            "SELECT lang, quantile_disc(n_chars, 0.5)::BIGINT AS p50_chars, "
+            "quantile_disc(n_chars, 0.9)::BIGINT AS p90_chars "
+            "FROM documents GROUP BY lang"
+        ),
         "docs_top_terms": (
             "SELECT term, count(*)::BIGINT AS n FROM ("
             "SELECT unnest(list_filter(string_split_regex(text, "

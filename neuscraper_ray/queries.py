@@ -246,6 +246,44 @@ def docs_token_quantiles(sf_dir: str):
     return pd.DataFrame({"p": np.asarray(ps, dtype=np.float64), "value": out_vals})
 
 
+def docs_length_quantiles_by_lang(sf_dir: str):
+    """Grouped exact quantiles (p50/p90 of n_chars per language) via
+    the same histogram-partials shape as ``docs_token_quantiles``:
+    per-batch (lang, value, count) combiner rows, one small
+    groupby-sum shuffle, per-group quantile read-off on the aggregated
+    histogram (|langs| x |distinct lengths| rows — corpus-size
+    independent)."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="cnt")
+        return g
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["lang", "n_chars"])
+    )
+    out_rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        values = g["n_chars"].to_numpy()
+        cum = np.cumsum(g["cnt"].to_numpy())
+        n = int(cum[-1])
+        row = {"lang": lang}
+        for name, p in (("p50_chars", 0.5), ("p90_chars", 0.9)):
+            idx = max(0, math.ceil(p * n) - 1)  # DuckDB quantile_disc
+            row[name] = int(values[np.searchsorted(cum, idx + 1)])
+        out_rows.append(row)
+    out = pd.DataFrame(out_rows)
+    out["p50_chars"] = out["p50_chars"].astype("int64")
+    out["p90_chars"] = out["p90_chars"].astype("int64")
+    return out
+
+
 def docs_top_terms(sf_dir: str):
     """Corpus-wide term frequency, top 20 (count desc, term asc).
 
@@ -835,6 +873,7 @@ ALL_QUERIES = {
     "docs_fingerprint": docs_fingerprint,
     "docs_decontaminate": docs_decontaminate,
     "docs_token_quantiles": docs_token_quantiles,
+    "docs_length_quantiles_by_lang": docs_length_quantiles_by_lang,
     "docs_top_terms": docs_top_terms,
     "events_type_agg": events_type_agg,
     "events_hourly": events_hourly,
