@@ -149,6 +149,12 @@ def oracle_sql() -> dict[str, str]:
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
             "ON p.user_id = v.user_id AND p.ts >= v.ts"
         ),
+        "order_totals_join": (
+            "SELECT o.o_orderkey, o.o_custkey, s.sum_qty FROM orders o JOIN ("
+            "SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey) s ON o.o_orderkey = s.l_orderkey "
+            "WHERE s.sum_qty >= 100"
+        ),
         "events_distinct_types": "SELECT DISTINCT event_type FROM events",
         "events_top_users": (
             "SELECT user_id, round(sum(value), 2) AS total_value "

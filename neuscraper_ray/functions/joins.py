@@ -1,0 +1,120 @@
+"""Large x large co-partitioned hash join.
+
+The engine's other joins are broadcast (small side shipped once via
+``ray.put``) and sentinel/anti joins; this module covers the remaining
+case — both sides too large to broadcast. Shape: both sides are mapped
+onto one UNIFIED Arrow schema (the other side's columns become typed
+nulls, so integer dtypes survive) plus ``__side`` and a crc32 key
+bucket; the two datasets UNION (a no-op for the streaming executor:
+blocks flow through unchanged), one ``groupby(bucket)`` shuffle
+co-locates matching keys, and the in-bucket join runs in polars (Rust
+hash join on Arrow buffers).
+
+Scale properties: exactly one all-to-all exchange (the same budget the
+flagship pipeline pays for assembly); bucket fan-out is
+``num_buckets`` regardless of key cardinality; per-bucket memory is
+|rows|/B per side, so B scales with cluster size via
+``config.NUM_BUCKETS``. Key skew lands a hot key in one bucket — the
+usual answer is to pre-aggregate the many side per key BEFORE joining
+(as ``queries.order_totals_join`` does), which this module composes
+with instead of joining raw skewed fact tables.
+
+Bucketing uses ``zlib.crc32`` of the int key bytes — never
+``builtins.hash`` (per-process salt would split groups).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from neuscraper_ray.config import NUM_BUCKETS
+
+
+def _crc_bucket_i64(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    b = keys.astype("<i8").tobytes()
+    return np.fromiter(
+        (zlib.crc32(b[i : i + 8]) % num_buckets for i in range(0, len(b), 8)),
+        dtype=np.int32,
+        count=len(keys),
+    )
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    how: str = "inner",
+    num_buckets: int = NUM_BUCKETS,
+    right_prepare=None,
+) -> ray.data.Dataset:
+    """Co-partitioned hash join on int64 keys -> Dataset with the key
+    (named ``left_on``) + both sides' payload columns.
+
+    Schemas are passed explicitly (calling ``.schema()`` on a lazy
+    upstream would execute it twice). Non-key column names must be
+    disjoint; ``how`` is "inner" or "left".
+
+    ``right_prepare`` (optional, polars DataFrame -> DataFrame, keyed
+    by ``left_on``) runs on the right side INSIDE each bucket before
+    the join. This is the aggregate-before-join pattern fused into the
+    join's own shuffle: feed per-batch combiner partials as ``right``
+    and finish the per-key aggregation here — one all-to-all total,
+    and never a high-cardinality ``Dataset.groupby().aggregate()``
+    (whose per-group Python cost dwarfs the data at scale).
+    """
+    l_payload = [f for f in left_schema if f.name != left_on]
+    r_payload = [f for f in right_schema if f.name != right_on]
+    overlap = {f.name for f in l_payload} & {f.name for f in r_payload}
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+    key_type = left_schema.field(left_on).type
+    unified = pa.schema(
+        [pa.field(left_on, key_type)]
+        + l_payload
+        + r_payload
+        + [pa.field("__side", pa.int8()), pa.field("__bucket", pa.int32())]
+    )
+    l_names = [f.name for f in l_payload]
+    r_names = [f.name for f in r_payload]
+
+    def widen(side: int, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            keys = t.column(key_col).to_numpy()
+            cols = {left_on: t.column(key_col)}
+            for f in l_payload + r_payload:
+                cols[f.name] = (
+                    t.column(f.name)
+                    if f.name in t.schema.names
+                    else pa.nulls(n, f.type)
+                )
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            cols["__bucket"] = pa.array(_crc_bucket_i64(keys, num_buckets))
+            return pa.table(cols, schema=unified)
+
+        return fn
+
+    both = left.map_batches(widen(0, left_on), batch_format="pyarrow").union(
+        right.map_batches(widen(1, right_on), batch_format="pyarrow")
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        lf = df.filter(pl.col("__side") == 0).select([left_on] + l_names)
+        rf = df.filter(pl.col("__side") == 1).select([left_on] + r_names)
+        if right_prepare is not None:
+            rf = right_prepare(rf)
+        joined = lf.join(rf, on=left_on, how="inner" if how == "inner" else "left")
+        return joined.to_arrow()
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

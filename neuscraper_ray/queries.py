@@ -522,6 +522,57 @@ def events_asof_join(sf_dir: str):
     )
 
 
+def order_totals_join(sf_dir: str):
+    """Large x large co-partitioned hash join (orders x per-order
+    lineitem totals), the one join shape broadcast can't cover.
+
+    The many side collapses to per-batch combiner partials (vectorized
+    pandas groupby, no shuffle), and the final per-key sum runs INSIDE
+    the join's own bucket (``right_prepare``), so the whole
+    agg-then-join costs exactly ONE all-to-all exchange and never
+    touches ``Dataset.groupby().aggregate()`` on a high-cardinality
+    key (per-group Python cost — see CLAUDE.md pitfalls). Quantities
+    are cast to int64 pre-sum so Ray and DuckDB agree exactly."""
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(),
+                "qty": df["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+        return out.groupby("l_orderkey", sort=False, as_index=False)["qty"].sum()
+
+    partials = li.map_batches(combiner, batch_format="pandas")
+    joined = hash_join(
+        orders,
+        partials,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+        right_schema=pa.schema([("l_orderkey", pa.int64()), ("qty", pa.int64())]),
+        right_prepare=lambda rf: rf.group_by("o_orderkey").agg(
+            pl.col("qty").sum()
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(t["qty"], 100))
+        return t.rename_columns(["o_orderkey", "o_custkey", "sum_qty"])
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def events_distinct_users_hll(sf_dir: str):
     """Approximate distinct-user count via a mergeable HyperLogLog
     sketch (p=14, ~0.8% expected error): per-batch 16 KiB register
@@ -882,6 +933,7 @@ ALL_QUERIES = {
     "events_sample": events_sample,
     "events_asof_join": events_asof_join,
     "events_distinct_users_hll": events_distinct_users_hll,
+    "order_totals_join": order_totals_join,
     "events_distinct_types": events_distinct_types,
     "events_top_users": events_top_users,
     "q1_pricing": q1_pricing,

@@ -273,3 +273,34 @@ def test_events_distinct_users_hll_close_to_exact():
         f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF_DIR}/events.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.02, (est, exact)
+
+
+def test_hash_join_inner_and_left():
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    left = ray.data.from_items(
+        [{"k": i, "a": i * 10} for i in range(200)]
+    ).repartition(7)
+    right = ray.data.from_items(
+        [{"kk": i, "b": i * 100} for i in range(0, 200, 2)]
+    ).repartition(3)
+    ls = pa.schema([("k", pa.int64()), ("a", pa.int64())])
+    rs = pa.schema([("kk", pa.int64()), ("b", pa.int64())])
+    inner = (
+        hash_join(left, right, "k", "kk", ls, rs, num_buckets=16)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(inner) == 100
+    assert (inner["b"].to_numpy() == inner["k"].to_numpy() * 100).all()
+    leftj = (
+        hash_join(left, right, "k", "kk", ls, rs, how="left", num_buckets=16)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(leftj) == 200
+    assert leftj["b"].isna().sum() == 100
