@@ -226,12 +226,24 @@ def docs_token_quantiles(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         nt = token_count_batch(t).column("n_tokens").to_numpy()
         vals, cnts = np.unique(nt, return_counts=True)
-        return pa.table({"value": vals, "cnt": cnts.astype(np.int64)})
+        return pa.table(
+            {
+                "value": vals,
+                "cnt": cnts.astype(np.int64),
+                # coarse merge bucket: groupby on the raw value would pay
+                # per-group Python (CLAUDE.md pitfall); 16 groups with a
+                # vectorized in-bucket merge cost O(1) calls
+                "hb": (vals % 16).astype(np.int32),
+            }
+        )
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("value", sort=False, as_index=False)["cnt"].sum()
 
     hist = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("value")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("hb")
+        .map_groups(merge_bucket, batch_format="pandas")
         .to_pandas()
         .sort_values("value")
     )
@@ -259,12 +271,18 @@ def docs_length_quantiles_by_lang(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="cnt")
+        g["hb"] = (g["n_chars"] % 16).astype(np.int32)
         return g
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
 
     hist = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["lang", "n_chars"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("hb")
+        .map_groups(merge_bucket, batch_format="pandas")
         .to_pandas()
         .sort_values(["lang", "n_chars"])
     )
@@ -287,14 +305,21 @@ def docs_length_quantiles_by_lang(sf_dir: str):
 def docs_top_terms(sf_dir: str):
     """Corpus-wide term frequency, top 20 (count desc, term asc).
 
-    The combiner pattern end-to-end: polars explode+group_by inside
-    each batch collapses the word stream to per-batch (term, n)
-    partials, the groupby-sum shuffle then moves only distinct terms,
-    and the sort/limit runs on the aggregated term table. Words are
-    maximal runs of non-ASCII-whitespace (same class as the SQL
-    oracle's regex split — engine-independent, unlike locale split)."""
+    The combiner + per-bucket-top-k pattern end-to-end: polars
+    explode+group_by inside each batch collapses the word stream to
+    per-batch (term, n) partials; the shuffle is keyed on a crc32 TERM
+    BUCKET (never the raw term — per-group Python cost at real term
+    cardinality); each bucket merges vectorized and emits only its own
+    top-k candidates (a term's global count lives entirely in one
+    bucket, so the global top-k is a subset of the union of per-bucket
+    top-ks); the driver sees k x num_buckets rows. Words are maximal
+    runs of non-ASCII-whitespace (same class as the SQL oracle's regex
+    split — engine-independent, unlike locale split)."""
+    import zlib
+
     import polars as pl
 
+    k = 20
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -309,18 +334,30 @@ def docs_top_terms(sf_dir: str):
             .agg(pl.len().alias("n"))
             .rename({"w": "term"})
         )
-        return agg.to_arrow().cast(
+        out = agg.to_arrow().cast(
             pa.schema([("term", pa.string()), ("n", pa.int64())])
         )
+        terms = out.column("term").to_pylist()
+        hb = np.fromiter(
+            (zlib.crc32(w.encode("utf-8")) % NUM_BUCKETS for w in terms),
+            dtype=np.int32,
+            count=len(terms),
+        )
+        return out.append_column("hb", pa.array(hb))
 
-    agg = (
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", sort=False, as_index=False)["n"].sum()
+        g = g.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    cand = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("hb")
+        .map_groups(bucket_topk, batch_format="pandas")
         .to_pandas()
     )
-    agg = agg.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
-    return agg.head(20).reset_index(drop=True)
+    cand = cand.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+    return cand.head(k).reset_index(drop=True)
 
 
 def docs_fingerprint(sf_dir: str):
