@@ -63,16 +63,32 @@ def exact_dedup(
             hashlib.md5(t.encode("utf-8")).hexdigest()
             for t in batch.column(text_col).to_pylist()
         ]
-        return batch.select([id_col]).append_column("h", pa.array(hs, pa.string()))
+        t = batch.select([id_col]).append_column("h", pa.array(hs, pa.string()))
+        # shuffle key is a coarse bucket of the hash, not the hash
+        # itself: one group per DISTINCT TEXT would pay per-group
+        # Python at corpus scale (CLAUDE.md pitfall); the md5 is
+        # uniform, so its first 4 hex chars bucket evenly
+        hb = np.fromiter(
+            (int(s[:4], 16) % NUM_BUCKETS for s in hs),
+            dtype=np.int32,
+            count=len(hs),
+        )
+        return t.append_column("hb", pa.array(hb))
 
-    from ray.data.aggregate import Count, Min
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", sort=False)[id_col].agg(["min", "size"])
+        return pd.DataFrame(
+            {
+                id_col: g["min"].to_numpy(),
+                "n_copies": g["size"].to_numpy().astype(np.int64),
+            }
+        )
 
-    agg = (
+    return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
+        .groupby("hb")
+        .map_groups(merge_bucket, batch_format="pandas")
     )
-    return agg.drop_columns(["h"])
 
 
 # ------------------------------------------------------------- minhash
@@ -303,19 +319,36 @@ def propagate_min_labels(
             pd.DataFrame({"id_a": edf["node"], "id_b": edf["other"]})
         )
 
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
+
+    def _min_label_by_node(msgs: ray.data.Dataset) -> ray.data.Dataset:
+        """(node, cand) -> (node, label=min cand), shuffled on a
+        node-hash bucket with a vectorized in-bucket min — never a
+        per-node Dataset.groupby (one Python call per node)."""
+
+        def add_nb(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy()
+            nb = (_mix64(node) % np.uint64(num_buckets)).astype(np.int32)
+            return t.append_column("nb", pa.array(nb))
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False, as_index=False)["cand"].min()
+            return g.rename(columns={"cand": "label"})
+
+        return (
+            msgs.map_batches(add_nb, batch_format="pyarrow")
+            .groupby("nb")
+            .map_groups(merge, batch_format="pandas")
+        )
 
     def init_labels(t: pa.Table) -> pa.Table:
         node = t.column("node").to_numpy()
         other = t.column("other").to_numpy()
         return pa.table({"node": node, "cand": np.minimum(node, other)})
 
-    labels = (
+    labels = _min_label_by_node(
         sym.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("cand", alias_name="label"))
-        .materialize()
-    )
+    ).materialize()
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
     def label_rows(t: pa.Table) -> pa.Table:
@@ -350,9 +383,7 @@ def propagate_min_labels(
             .groupby("bucket")
             .map_groups(emit_msgs, batch_format="pandas")
         )
-        labels = (
-            msgs.groupby("node").aggregate(Min("cand", alias_name="label")).materialize()
-        )
+        labels = _min_label_by_node(msgs).materialize()
         new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if new_sum == prev_sum:
             break
