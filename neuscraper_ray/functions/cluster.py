@@ -1,0 +1,111 @@
+"""Distributed k-means over an embedding column.
+
+The iterative-algorithm shape Ray Data handles well: each iteration is
+one streaming pass — centroids broadcast via ``ray.put``, every batch
+emits k partial rows (per-centroid vector sum + count + inertia), and
+the driver folds the partials (k x n_batches rows, corpus-size
+independent) into the next centroid set. No shuffle at all; the
+dataset is never materialized; cost is exactly ``iters`` passes.
+
+Deterministic: fixed seed picks the initial centroids from the first
+block, fixed iteration count, and the driver fold sorts the partial
+rows by content before the float64 summation, so results do not
+depend on task completion order.
+
+No SQL oracle exists (iterative fixpoint); tests pin determinism,
+monotone non-increasing inertia, and full-coverage assignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _stack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return np.stack(col.to_pylist()).astype(np.float64)
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 3,
+) -> tuple[np.ndarray, float]:
+    """-> (centroids (k, d) float64, final inertia). Euclidean k-means."""
+    head = ds.limit(max(k * 20, 256)).to_pandas()
+    m0 = np.stack(head[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    cent = m0[rng.choice(len(m0), size=min(k, len(m0)), replace=False)].copy()
+
+    inertia = float("inf")
+    for it in range(iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _stack(t.column(vec_col))
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            kk, d = len(c), c.shape[1]
+            sums = np.zeros((kk, d), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            inert = np.zeros(kk, dtype=np.float64)
+            np.add.at(inert, assign, d2[np.arange(len(m)), assign])
+            return pa.table(
+                {
+                    "c": np.arange(kk, dtype=np.int64),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": counts,
+                    "inertia": inert,
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        # content-sorted fold: float addition order independent of task
+        # completion order
+        rows.sort(key=lambda r: (int(r["c"]), int(r["n"]), float(r["inertia"]), tuple(r["vsum"])))
+        kk, d = cent.shape
+        sums = np.zeros((kk, d), dtype=np.float64)
+        counts = np.zeros(kk, dtype=np.int64)
+        inert_parts: list[float] = []
+        for r in rows:
+            c = int(r["c"])
+            sums[c] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[c] += int(r["n"])
+            inert_parts.append(float(r["inertia"]))
+        inert = float(np.sum(inert_parts))
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+        inertia = inert
+    return cent, inertia
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """-> (id_col, cluster int64, dist2 float64), one streaming pass."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _stack(t.column(vec_col))
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster": a.astype(np.int64),
+                "dist2": d2[np.arange(len(m)), a],
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -559,6 +559,20 @@ def events_asof_join(sf_dir: str):
     )
 
 
+def embeddings_kmeans(sf_dir: str):
+    """Distributed k-means over the embeddings table (iterative
+    algorithm: per-pass broadcast centroids + per-batch partial sums,
+    zero shuffles, driver folds k x n_batches rows per iteration).
+    Rows-only: an iterative fixpoint has no SQL oracle; determinism,
+    monotone inertia and full assignment coverage are pinned in
+    tests/test_functions.py."""
+    from neuscraper_ray.functions.cluster import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, _ = kmeans_fit(ds, k=8, iters=5)
+    return kmeans_assign(ds, cent).select_columns(["vec_id", "cluster"])
+
+
 def order_totals_join(sf_dir: str):
     """Large x large co-partitioned hash join (orders x per-order
     lineitem totals), the one join shape broadcast can't cover.
@@ -971,6 +985,7 @@ ALL_QUERIES = {
     "events_asof_join": events_asof_join,
     "events_distinct_users_hll": events_distinct_users_hll,
     "order_totals_join": order_totals_join,
+    "embeddings_kmeans": embeddings_kmeans,
     "events_distinct_types": events_distinct_types,
     "events_top_users": events_top_users,
     "q1_pricing": q1_pricing,

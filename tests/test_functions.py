@@ -304,3 +304,23 @@ def test_hash_join_inner_and_left():
     )
     assert len(leftj) == 200
     assert leftj["b"].isna().sum() == 100
+
+
+def test_kmeans_deterministic_and_converging():
+    import numpy as np
+
+    from neuscraper_ray.functions.cluster import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(
+        SF_DIR + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    c1, i1 = kmeans_fit(ds, k=4, iters=3)
+    c2, i2 = kmeans_fit(ds, k=4, iters=3)
+    assert np.array_equal(c1, c2) and i1 == i2  # bit-deterministic
+    _, i_more = kmeans_fit(ds, k=4, iters=6)
+    assert i_more <= i1 + 1e-9  # inertia non-increasing with iterations
+    out = kmeans_assign(ds, c1).to_pandas()
+    n = ds.count()
+    assert len(out) == n
+    assert out["cluster"].between(0, 3).all()
+    assert out["cluster"].nunique() > 1  # real embeddings split into clusters
