@@ -79,6 +79,10 @@ def _run_bench() -> dict:
         "docs_minhash_clusters",
         "docs_simhash_pairs",
         "docs_scrub",
+        "docs_decontaminate",
+        "docs_top_terms",
+        "events_asof_join",
+        "order_totals_join",
         "ann_topk",
         "embedding_near_pairs",
     ]
