@@ -29,7 +29,9 @@ def entry() -> Any:
     from neuscraper_ray.pipelines.curate import CurateConfig, curate
     from neuscraper_ray.queries import _pages_dir_for
 
-    pages = ray.data.read_parquet(_pages_dir_for("/root/testdata/sf0.001"))
+    pages = ray.data.read_parquet(
+        _pages_dir_for("/root/testdata/sf0.001"), columns=["url", "html"]
+    )
     out = curate(pages, CurateConfig())
     df = out.to_pandas().sort_values("url").reset_index(drop=True)
     df["quality_flags"] = df["quality_flags"].map(
