@@ -21,6 +21,18 @@ with instead of joining raw skewed fact tables.
 
 Bucketing uses ``zlib.crc32`` of the int key bytes — never
 ``builtins.hash`` (per-process salt would split groups).
+
+Why not ``Dataset.join`` (native in Ray >= 2.46)? Measured head-to-head
+on the ``order_totals_join`` shape at sf0.01: the native hash join
+costs ~4 s (it rides the hash-shuffle aggregator-actor machinery,
+whose actor-pool startup dominates locally) and, more fundamentally,
+cannot fuse the per-key aggregation into the join — feeding it
+combiner partials joins each PARTIAL row (wrong result for an
+aggregate right side), so it would require the full high-cardinality
+``groupby().aggregate()`` first, the exact cost this module exists to
+avoid. On a long-lived multi-node cluster where the aggregator pool
+amortizes, the native join is a fine choice for plain (non-aggregating)
+joins.
 """
 
 from __future__ import annotations
