@@ -294,6 +294,13 @@ def extract_node_sequence(html: str) -> list[tuple[int, str, str, bool, bool]]:
     doc = parse_html(html)
     if instrument(doc) == 0:
         return []
+    return node_sequence_from_doc(doc)
+
+
+def node_sequence_from_doc(doc: Element) -> list[tuple[int, str, str, bool, bool]]:
+    """The walk of ``extract_node_sequence`` over an already-parsed,
+    already-instrumented tree (callers that also need the tree — e.g.
+    annotation projection — parse once and share it)."""
     out: list[tuple[int, str, str, bool, bool]] = []
     append = out.append
     # inlined preorder walk (identical order to iter_elements); an
