@@ -162,10 +162,10 @@ def parse_html(html: str) -> Element:
         if gt == -1:
             stack[-1].children.append(html[lt:])
             break
-        body = html[lt + 1 : gt]
         i = gt + 1
-        if body.startswith("/"):
-            m = _NAME_RE.match(body, 1)
+        # match names in place on the big string — no per-tag body slice
+        if html[lt + 1] == "/":  # gt > lt guarantees lt+1 in range
+            m = _NAME_RE.match(html, lt + 2, gt)
             if m:
                 name = m.group(0).lower()
                 for k in range(len(stack) - 1, 0, -1):
@@ -173,7 +173,7 @@ def parse_html(html: str) -> Element:
                         del stack[k:]
                         break
             continue
-        m = _NAME_RE.match(body)
+        m = _NAME_RE.match(html, lt + 1, gt)
         if not m:
             # '<' followed by junk: html.parser treats it as text-ish;
             # we drop it (deterministic; absent from the corpus)
@@ -192,8 +192,14 @@ def parse_html(html: str) -> Element:
                 el.children.append(html[i:close])  # raw, no unescape
             gt2 = find(">", close)
             i = n if gt2 == -1 else gt2 + 1
-        elif name not in VOID_TAGS and not body.rstrip().endswith("/"):
-            stack.append(el)
+        elif name not in VOID_TAGS:
+            # self-closing check, whitespace-tolerant ("<br />"), in
+            # place; str.isspace matches what body.rstrip() stripped
+            j = gt - 1
+            while j > lt and html[j].isspace():
+                j -= 1
+            if html[j] != "/" or j <= lt:
+                stack.append(el)
     return root
 
 
