@@ -118,3 +118,15 @@ def test_zip_source_decodes_annotate_html_end_to_end(tmp_path):
     node_id, feats = parse_node_raw_feature(rows[0]["node_raw_features"][0])
     assert node_id == 3 and feats.position_x == 10 and feats.font_size == 12
     assert list(rows[0]["annotation_types"]) == [1, 4]
+
+
+def test_vdom_features_schema_roundtrip():
+    """The VDomFeatures message schema matches vdom.FIELD_ORDER
+    (field numbers 1-30 in serialization order) and round-trips."""
+    from neuscraper_ray.sources.protowire import VDOM_FEATURES_SCHEMA
+    from neuscraper_ray.vdom import FIELD_ORDER
+
+    assert [VDOM_FEATURES_SCHEMA[i + 1][0] for i in range(30)] == FIELD_ORDER
+    vals = {name: i * 3 - 5 for i, name in enumerate(FIELD_ORDER)}
+    buf = encode_message(vals, VDOM_FEATURES_SCHEMA)
+    assert decode_message(buf, VDOM_FEATURES_SCHEMA) == vals
