@@ -57,6 +57,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_simhash_pairs": polyhash.sql_simhash_pairs("documents"),
         "docs_minhash_clusters": polyhash.sql_minhash_clusters("documents"),
+        "docs_stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT "
+            "% (CASE WHEN lang = 'en' THEN 2 ELSE 10 END) = 0"
+        ),
         "docs_decontaminate": polyhash.sql_decontaminate("documents"),
         "docs_token_quantiles": (
             "SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p, "

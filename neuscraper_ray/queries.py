@@ -189,6 +189,32 @@ def docs_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(ds)
 
 
+def docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: per-language rates (en keeps
+    1-in-2, others 1-in-10) via an md5 hash gate on doc_id — zero
+    shuffle, streams, engine-independent (the same rows on any
+    partitioning and any rerun), and SQL-verifiable. The scale story
+    for corpus downsampling: sampling decisions must be a pure
+    function of the row, never of task layout or RNG state."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        mod = np.where(df["lang"].to_numpy() == "en", 2, 10)
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                for i in df["doc_id"].tolist()
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return df[h % mod == 0]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def docs_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3/Gopher recipe): count each
     non-benchmark doc's word-3-gram shingles that also occur in the
@@ -973,6 +999,7 @@ ALL_QUERIES = {
     "docs_minhash_clusters": docs_minhash_clusters,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_fingerprint": docs_fingerprint,
+    "docs_stratified_sample": docs_stratified_sample,
     "docs_decontaminate": docs_decontaminate,
     "docs_token_quantiles": docs_token_quantiles,
     "docs_length_quantiles_by_lang": docs_length_quantiles_by_lang,
