@@ -53,13 +53,34 @@ def benchmark_shingle_array(
         ids = t.column(id_col).to_numpy()
         keep = ids % modulus == 0
         if not keep.any():
-            return pa.table({"s32": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "s32": pa.array([], pa.int64()),
+                    "sb": pa.array([], pa.int32()),
+                }
+            )
         texts = t.filter(pa.array(keep)).column(text_col).to_pylist()
         sh32, _ = _doc_shingles(texts)
-        return pa.table({"s32": np.unique(sh32).astype(np.int64)})
+        u = np.unique(sh32).astype(np.int64)
+        # distinct via a coarse-bucket shuffle, NOT Dataset.unique
+        # (which groups per VALUE — per-group Python at shingle
+        # cardinality); in-bucket distinct is one np.unique
+        return pa.table({"s32": u, "sb": (u % 64).astype(np.int32)})
 
-    vals = ds.map_batches(partial, batch_format="pyarrow").unique("s32")
-    return np.sort(np.asarray(vals, dtype=np.uint64))
+    def distinct_bucket(df) -> "pa.Table":
+        u = np.unique(df["s32"].to_numpy())
+        return pa.table({"vals": pa.array([u.tolist()], pa.list_(pa.int64()))})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(distinct_bucket, batch_format="pandas")
+        .take_all()
+    )  # <= 64 rows, one distinct-shingle list per bucket
+    if not rows:
+        return np.empty(0, dtype=np.uint64)
+    vals = np.concatenate([np.asarray(r["vals"], dtype=np.int64) for r in rows])
+    return np.sort(vals.astype(np.uint64))
 
 
 def decontaminate(
