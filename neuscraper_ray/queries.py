@@ -781,7 +781,18 @@ def customers_no_orders(sf_dir: str):
         columns=["o_custkey"],
         filter=pc.field("o_orderdate") < pd.Timestamp(ANTI_JOIN_CUTOFF),
     )
-    keys = set(early.unique("o_custkey"))
+    def batch_keys(t: pa.Table) -> pa.Table:
+        # one list row per batch — never Dataset.unique (one Ray group
+        # per distinct value); the driver unions <= n_batches lists
+        u = np.unique(t.column("o_custkey").to_numpy())
+        return pa.table({"ks": pa.array([u.tolist()], pa.list_(pa.int64()))})
+
+    rows = early.map_batches(batch_keys, batch_format="pyarrow").take_all()
+    keys = set(
+        np.concatenate([np.asarray(r["ks"], dtype=np.int64) for r in rows]).tolist()
+        if rows
+        else []
+    )
     keys_ref = ray.put(keys)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
 
