@@ -585,6 +585,25 @@ def events_asof_join(sf_dir: str):
     )
 
 
+def media_features(sf_dir: str):
+    """Multimodal decode: a deterministic synthetic media table
+    (binary payload + typed metadata struct, sized to the sf scale)
+    through the actor-pool image decoder -> per-item feature vectors.
+    Rows-only: the codec itself is the documented deterministic stub
+    (no image libraries in this environment); the Ray-side contract —
+    schema, small batches for wide binary rows, per-actor decode
+    state — is the real, tested surface."""
+    import pyarrow.parquet as _pq
+
+    from neuscraper_ray.functions.multimodal import decode_images, gen_media_table
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    media = gen_media_table(max(64, n_docs // 4), seed=7)
+    ds = ray.data.from_arrow(media)
+    out = decode_images(ds, concurrency=2, batch_size=16)
+    return out.select_columns(["doc_id", "features", "decode_ok"])
+
+
 def embeddings_kmeans(sf_dir: str):
     """Distributed k-means over the embeddings table (iterative
     algorithm: per-pass broadcast centroids + per-batch partial sums,
@@ -1024,6 +1043,7 @@ ALL_QUERIES = {
     "events_distinct_users_hll": events_distinct_users_hll,
     "order_totals_join": order_totals_join,
     "embeddings_kmeans": embeddings_kmeans,
+    "media_features": media_features,
     "events_distinct_types": events_distinct_types,
     "events_top_users": events_top_users,
     "q1_pricing": q1_pricing,
