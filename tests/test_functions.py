@@ -324,3 +324,34 @@ def test_kmeans_deterministic_and_converging():
     assert len(out) == n
     assert out["cluster"].between(0, 3).all()
     assert out["cluster"].nunique() > 1  # real embeddings split into clusters
+
+
+def test_hash_join_duplicate_keys_cartesian():
+    """Duplicate keys on both sides must produce the SQL cartesian
+    per key, matching a pandas merge exactly."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    lrows = [{"k": k, "a": i} for i, k in enumerate([1, 1, 2, 3, 3, 3, 5])]
+    rrows = [{"kk": k, "b": 100 + i} for i, k in enumerate([1, 1, 1, 3, 3, 4])]
+    left = ray.data.from_items(lrows).repartition(3)
+    right = ray.data.from_items(rrows).repartition(2)
+    ls = pa.schema([("k", pa.int64()), ("a", pa.int64())])
+    rs = pa.schema([("kk", pa.int64()), ("b", pa.int64())])
+    got = (
+        hash_join(left, right, "k", "kk", ls, rs, num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame(lrows)
+        .merge(pd.DataFrame(rrows), left_on="k", right_on="kk")
+        .drop(columns="kk")
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "a", "b"]], want[["k", "a", "b"]])
+    assert len(got) == 2 * 3 + 3 * 2  # k=1: 2x3, k=3: 3x2
