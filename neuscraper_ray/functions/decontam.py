@@ -44,9 +44,11 @@ def benchmark_shingle_array(
 ) -> np.ndarray:
     """Distinct shingles of the benchmark rows -> sorted uint64 array.
 
-    Per-batch unique (map-side combiner) then a distributed ``unique``
-    over the already-thinned partials; only the final distinct set
-    (small by the operator's contract) reaches the driver.
+    Per-batch unique (map-side combiner), then a coarse-bucket
+    shuffle with one vectorized np.unique per bucket (never
+    ``Dataset.unique`` — one Ray group per distinct value); only the
+    final distinct set (small by the operator's contract) reaches the
+    driver, as one list row per bucket.
     """
 
     def partial(t: pa.Table) -> pa.Table:

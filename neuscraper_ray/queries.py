@@ -219,7 +219,7 @@ def docs_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3/Gopher recipe): count each
     non-benchmark doc's word-3-gram shingles that also occur in the
     benchmark subset (doc_id % 20 == 0). Benchmark shingle set built
-    distributed (per-batch unique -> Dataset.unique), broadcast once
+    distributed (per-batch unique -> bucketed distinct), broadcast once
     via ray.put, looked up with vectorized searchsorted. SQL-verified
     via the shared polyhash contract."""
     from neuscraper_ray.functions.decontam import (
