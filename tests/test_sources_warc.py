@@ -89,3 +89,30 @@ def test_plain_uncompressed_warc(tmp_path):
         f.write(raw)
     t = parse_warc_bytes(raw)
     assert t.column("url").to_pylist() == [r[0] for r in RECORDS[:2]]
+
+
+def test_jsonl_source_roundtrip(tmp_path):
+    """S5 parity: JSONL line reader via ray.data.read_json + seeded
+    shuffle — same rows as the parquet path, deterministic order."""
+    import json
+    import os
+
+    import duckdb
+    import ray.data
+
+    rows = duckdb.sql(
+        "SELECT event_id, event_type FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet') LIMIT 200"
+    ).df()
+    p = os.path.join(tmp_path, "events.jsonl")
+    with open(p, "w") as f:
+        for r in rows.to_dict("records"):
+            f.write(json.dumps(r) + "\n")
+    ds = ray.data.read_json(p)
+    got = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = rows.sort_values("event_id").reset_index(drop=True)
+    assert got.equals(want)
+    # seeded shuffle is deterministic across runs
+    a = ds.random_shuffle(seed=11).to_pandas()["event_id"].tolist()
+    b = ds.random_shuffle(seed=11).to_pandas()["event_id"].tolist()
+    assert a == b and sorted(a) == sorted(want["event_id"].tolist())
