@@ -9,8 +9,10 @@
   query — including the near-dup family (minhash clusters, simhash
   pairs, fingerprints), whose shared Mersenne-61 polynomial hashing
   (``neuscraper_ray.functions.polyhash``) was designed to be exactly
-  reproducible in SQL. Only model-based / approximate / full-pipeline
-  ops (langid, LSH ANN, curate) are rows-only, each with a rationale.
+  reproducible in SQL. Only model-based / approximate / iterative /
+  full-pipeline ops are rows-only (langid, LSH+IVF ANN, the HLL
+  sketch, k-means, the multimodal decode stub, annotation offsets,
+  curate itself), each with a rationale in its docstring.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in ``neuscraper_ray``) calls ``ray.init`` / ``ray.shutdown``.
