@@ -22,7 +22,7 @@ from neuscraper_ray.stages.extract import decode_html
 from neuscraper_ray.stages.heuristics import apply_rules
 from neuscraper_ray.stages.langid import detect_language
 from neuscraper_ray.stages.perplexity import build_logprob_table, perplexity
-from neuscraper_ray.stages.scorer import THRESHOLD, predict_node_ids, score_texts
+from neuscraper_ray.stages.scorer import THRESHOLD, score_texts
 from neuscraper_ray.stages.scrub import scrub_text
 from neuscraper_ray.stages.verdict import decide
 

@@ -23,7 +23,6 @@ module-cached per worker); output rows are Arrow-nested
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 import ray.data

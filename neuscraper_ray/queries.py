@@ -25,7 +25,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from neuscraper_ray.config import NUM_BUCKETS
 

@@ -15,7 +15,7 @@ parent's; otherwise zero-init) and the two rules the renderer consumes:
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass
 
 REGEX_PATTERN = re.compile(r"([a-z][a-z])(\d+)")
 
