@@ -65,6 +65,7 @@ def oracle_sql() -> dict[str, str]:
             "% (CASE WHEN lang = 'en' THEN 2 ELSE 10 END) = 0"
         ),
         "docs_decontaminate": polyhash.sql_decontaminate("documents"),
+        "docs_jaccard_pairs": polyhash.sql_jaccard_pairs("documents"),
         "docs_token_quantiles": (
             "SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p, "
             "unnest(quantile_disc(n_tokens, [0.25, 0.5, 0.75, 0.9, 0.99]))::BIGINT "

@@ -215,6 +215,115 @@ def verify_jaccard_pairs(
     return out
 
 
+def jaccard_verified_pairs(
+    ds: ray.data.Dataset,
+    threshold_e6: int = 500_000,
+    num_buckets: int = NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """LSH candidates verified with EXACT shingle-set Jaccard ->
+    Dataset(id_a, id_b, jacc_e6) — fixed-point e6 so Ray and the SQL
+    oracle (``polyhash.sql_jaccard_pairs``) agree bit-for-bit.
+
+    A composition of the engine's own operators, all scale-shaped:
+    candidates from the banded LSH blocking (never all pairs), a
+    per-doc shingle-list table (materialized once — the derived column
+    you would persist to parquet in production), and TWO co-partitioned
+    ``hash_join`` passes to attach each side's shingles to its edges;
+    the exact intersections then run vectorized per edge batch. No
+    stage ever holds the corpus, the full edge list, or a per-distinct-
+    value Ray group.
+    """
+    import pyarrow as _pa
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        dw = ph.DocWords(texts)
+        sh32, sdoc = ph.doc_shingles32(dw)
+        bounds = np.searchsorted(sdoc, np.arange(len(texts) + 1))
+        lists = [
+            sh32[bounds[i] : bounds[i + 1]].astype(np.int64).tolist()
+            for i in range(len(texts))
+        ]
+        return pa.table(
+            {
+                "doc_id": ids.astype(np.int64),
+                "sh": _pa.array(lists, _pa.list_(_pa.int64())),
+            }
+        )
+
+    shingles = ds.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+
+    # global pair dedup (candidates are a multiset across bands):
+    # bucket on a pair hash, vectorized in-bucket drop_duplicates
+    cand = minhash_candidate_pairs(ds, num_buckets=num_buckets)
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy()
+        b = df["id_b"].to_numpy()
+        df["pb"] = ((_mix64(a) ^ _mix64(b)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return df
+
+    edges = (
+        cand.map_batches(add_pb, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(
+            lambda d: d.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+            batch_format="pandas",
+        )
+    )
+
+    edge_schema = _pa.schema([("id_a", _pa.int64()), ("id_b", _pa.int64())])
+    sh_schema = _pa.schema(
+        [("doc_id", _pa.int64()), ("sh", _pa.list_(_pa.int64()))]
+    )
+    withe_a = hash_join(
+        edges, shingles, "id_a", "doc_id", edge_schema, sh_schema,
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b", "sh_a"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    wa_schema = _pa.schema(
+        [("id_a", _pa.int64()), ("id_b", _pa.int64()), ("sh_a", _pa.list_(_pa.int64()))]
+    )
+    both = hash_join(
+        withe_a, shingles, "id_b", "doc_id", wa_schema, sh_schema,
+        num_buckets=num_buckets,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        id_b = t.column("id_b").to_numpy()
+        id_a = t.column("id_a").to_numpy()
+        sh_a = t.column("sh_a").to_pylist()
+        sh_b = t.column("sh").to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for i in range(t.num_rows):
+            a = np.asarray(sh_a[i], dtype=np.int64)
+            b = np.asarray(sh_b[i], dtype=np.int64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            j = (inter * 1_000_000) // union if union else 1_000_000
+            if j >= threshold_e6:
+                out_a.append(id_a[i])
+                out_b.append(id_b[i])
+                out_j.append(j)
+        return pa.table(
+            {
+                "id_a": np.asarray(out_a, dtype=np.int64),
+                "id_b": np.asarray(out_b, dtype=np.int64),
+                "jacc_e6": np.asarray(out_j, dtype=np.int64),
+            }
+        )
+
+    return both.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
 # ------------------------------------------- distributed label propagation
 
 

@@ -428,15 +428,12 @@ GROUP BY s.doc_id
 """
 
 
-def sql_minhash_clusters(table: str = "documents", k: int = 3) -> str:
-    """Full DuckDB statement: MinHash-LSH candidate edges -> connected
-    components -> (doc_id, cluster_id BIGINT = min reachable id).
-    Value-identical to ``dedup.near_dup_clusters`` (same shingles,
-    signatures, band folds; closure via recursive CTE)."""
-    assert k == 3, "SQL builder hard-codes the k=3 window indexing"
-    return f"""
-WITH RECURSIVE {sql_shingle_ctes(table)},
-sig AS (
+def sql_bandsig_ctes() -> str:
+    """CTE chain ``shu`` -> per-doc LSH band hashes
+    (``bandsig(doc_id, band, bh)``) — the SQL twin of
+    ``minhash_sigs`` + ``band_hashes``; composed by the cluster and
+    jaccard-pair oracles. Appended after ``sql_shingle_ctes``."""
+    return f"""sig AS (
   SELECT doc_id, perms.j, min((perms.a * s32 + perms.b) % {MOD}) AS sv
   FROM shu CROSS JOIN {sql_minhash_perm_values()} GROUP BY doc_id, perms.j
 ),
@@ -445,7 +442,47 @@ bandsig AS (
     list_reduce(list_prepend(0::HUGEINT, list(sv ORDER BY j)),
                 (acc,x) -> (acc*{BASE_S} + x) % {MOD}) AS bh
   FROM sig GROUP BY doc_id, j // 4
+)"""
+
+
+def sql_jaccard_pairs(table: str = "documents", threshold_e6: int = 500_000) -> str:
+    """Full DuckDB statement: LSH candidate pairs (sharing any band)
+    verified with EXACT shingle-set Jaccard, fixed-point e6 ->
+    (id_a, id_b, jacc_e6 BIGINT). Value-identical to
+    ``dedup.jaccard_verified_pairs``."""
+    return f"""
+WITH {sql_shingle_ctes(table)},
+{sql_bandsig_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bandsig a JOIN bandsig b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ),
+sizes AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
+inter AS (
+  SELECT c.u, c.v, count(*) AS i
+  FROM cand c JOIN shu sa ON sa.doc_id = c.u JOIN shu sb ON sb.doc_id = c.v AND sa.s32 = sb.s32
+  GROUP BY c.u, c.v
+)
+SELECT id_a, id_b, jacc_e6 FROM (
+  SELECT c.u AS id_a, c.v AS id_b,
+    ((coalesce(i.i, 0) * 1000000) // (na.n + nb.n - coalesce(i.i, 0)))::BIGINT AS jacc_e6
+  FROM cand c
+  JOIN sizes na ON na.doc_id = c.u
+  JOIN sizes nb ON nb.doc_id = c.v
+  LEFT JOIN inter i ON i.u = c.u AND i.v = c.v
+) WHERE jacc_e6 >= {threshold_e6}
+"""
+
+
+def sql_minhash_clusters(table: str = "documents", k: int = 3) -> str:
+    """Full DuckDB statement: MinHash-LSH candidate edges -> connected
+    components -> (doc_id, cluster_id BIGINT = min reachable id).
+    Value-identical to ``dedup.near_dup_clusters`` (same shingles,
+    signatures, band folds; closure via recursive CTE)."""
+    assert k == 3, "SQL builder hard-codes the k=3 window indexing"
+    return f"""
+WITH RECURSIVE {sql_shingle_ctes(table)},
+{sql_bandsig_ctes()},
 cand AS (
   SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
   FROM bandsig a JOIN bandsig b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id

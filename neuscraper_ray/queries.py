@@ -189,6 +189,17 @@ def docs_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(ds)
 
 
+def docs_jaccard_pairs(sf_dir: str):
+    """LSH-candidate pairs verified with exact n-gram Jaccard >= 0.5
+    (fixed-point e6) — SQL-verified, and a composition showcase:
+    banded blocking -> pair dedup -> two co-partitioned hash_joins
+    attaching per-doc shingle lists -> vectorized exact verify."""
+    from neuscraper_ray.functions.dedup import jaccard_verified_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_verified_pairs(ds)
+
+
 def docs_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling: per-language rates (en keeps
     1-in-2, others 1-in-10) via an md5 hash gate on doc_id — zero
@@ -1029,6 +1040,7 @@ ALL_QUERIES = {
     "docs_minhash_clusters": docs_minhash_clusters,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_fingerprint": docs_fingerprint,
+    "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_decontaminate": docs_decontaminate,
     "docs_token_quantiles": docs_token_quantiles,
