@@ -900,16 +900,33 @@ def lineitem_global_metrics(sf_dir: str):
 # ------------------------------------------------------------ embeddings
 
 
+def _ann_query_and_rest(sf_dir: str):
+    """(query vector float64, Dataset of the remaining rows).
+
+    The single query row comes via parquet predicate pushdown at the
+    read; the exclusion filter is a vectorized Arrow kernel — never
+    ``ds.filter(row_fn)`` (one Python call per row)."""
+    import pyarrow.compute as pc
+
+    qdf = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") == 0,
+    ).to_pandas()
+    query = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
+    rest = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return query, rest
+
+
 def ann_topk(sf_dir: str):
     """Brute-force cosine top-10 around vec_id 0 (exact; float64)."""
     from neuscraper_ray.functions.ann import brute_force_topk
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).filter(lambda r: r["vec_id"] == 0).to_pandas()
-    query = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
-    rest = ds.filter(lambda r: r["vec_id"] != 0)
+    query, rest = _ann_query_and_rest(sf_dir)
     top = brute_force_topk(rest, query, k=10)
     return top[["vec_id"]].astype("int64")
 
@@ -918,13 +935,7 @@ def ann_topk_lsh(sf_dir: str):
     """LSH-bucketed approximate top-10 (scale path; rows-only check)."""
     from neuscraper_ray.functions.ann import lsh_topk
 
-    qdf = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).filter(lambda r: r["vec_id"] == 0).to_pandas()
-    query = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
-        lambda r: r["vec_id"] != 0
-    )
+    query, ds = _ann_query_and_rest(sf_dir)
     # hamming-2 multiprobe: the synthetic embeddings are near-random
     # (weak neighbor structure), so recall tracks the probed fraction;
     # clustered real corpora need far fewer probes for the same recall
@@ -938,13 +949,7 @@ def ann_topk_ivf(sf_dir: str):
     ``ann_topk`` is asserted in tests/test_functions.py)."""
     from neuscraper_ray.functions.ann import ivf_topk
 
-    qdf = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).filter(lambda r: r["vec_id"] == 0).to_pandas()
-    query = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
-        lambda r: r["vec_id"] != 0
-    )
+    query, ds = _ann_query_and_rest(sf_dir)
     top = ivf_topk(ds, query, k=10)
     return top[["vec_id", "cosine"]]
 
