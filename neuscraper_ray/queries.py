@@ -110,16 +110,15 @@ def docs_word_stats(sf_dir: str):
 
 
 def docs_length_filter(sf_dir: str):
+    """Range filter pushed INTO the parquet read (row-group statistics
+    prune untouched ranges; the reader applies the exact predicate) —
+    no post-read filter stage at all."""
     import pyarrow.compute as pc
 
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    return ds.map_batches(
-        lambda t: t.filter(
-            pc.and_(
-                pc.greater_equal(t["n_chars"], 150), pc.less_equal(t["n_chars"], 350)
-            )
-        ),
-        batch_format="pyarrow",
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=(pc.field("n_chars") >= 150) & (pc.field("n_chars") <= 350),
     )
 
 
@@ -721,23 +720,20 @@ def q1_pricing(sf_dir: str):
     """TPC-H-Q1-style pricing summary (filter -> partial agg -> groupby)."""
     import pyarrow.compute as pc
 
-    ds = _read(
-        sf_dir,
-        "lineitem",
-        [
+    # shipdate cutoff pushed to the read (row-group pruning at scale)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
             "l_returnflag",
             "l_linestatus",
             "l_quantity",
             "l_extendedprice",
             "l_discount",
-            "l_shipdate",
         ],
+        filter=pc.field("l_shipdate") <= pd.Timestamp(Q1_CUTOFF),
     )
 
-    cutoff = pa.scalar(pd.Timestamp(Q1_CUTOFF), pa.timestamp("us"))
-
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table(
             {
