@@ -990,7 +990,13 @@ def _pages_dir_for(sf_dir: str, mult: int = 4) -> str:
 
 
 def curate_labels(sf_dir: str):
-    """Flagship pipeline over the synthetic pages table (rows-only)."""
+    """Flagship pipeline over the synthetic pages table. Rows-only by
+    nature: the pipeline is HTML parsing + a model-scored node
+    classifier + trained langid — not SQL-expressible. Its value
+    correctness is gated instead by the conformance suite
+    (byte-identical extracted/scrubbed text per url vs the
+    single-process oracle, keep/drop F1 >= 0.99, partitioning
+    invariance — tests/test_curate_pipeline.py)."""
     from neuscraper_ray.pipelines.curate import CurateConfig, curate
 
     pages = ray.data.read_parquet(_pages_dir_for(sf_dir))
@@ -1018,7 +1024,10 @@ def pages_annotation_offsets(sf_dir: str):
 
 
 def curate_drop_reasons(sf_dir: str):
-    """Drop-reason histogram of the flagship pipeline (rows-only)."""
+    """Drop-reason histogram of the flagship pipeline. Rows-only for
+    the same reason as curate_labels (model-scored, non-SQL); the
+    histogram itself is additionally pinned against the oracle's
+    drop reasons in the conformance tests."""
     from neuscraper_ray.pipelines.curate import CurateConfig, curate
 
     pages = ray.data.read_parquet(_pages_dir_for(sf_dir))
