@@ -21,12 +21,31 @@ import sys
 import time
 
 
+def _noise_probe() -> dict:
+    """Measurement context for this shared VM (see BASELINE.md): cpu
+    pressure avg10 and the hypervisor steal fraction, so every
+    recorded number carries its window's noise state."""
+    out = {}
+    try:
+        with open("/proc/pressure/cpu") as f:
+            out["cpu_pressure_avg10"] = float(
+                f.readline().split()[1].split("=")[1]
+            )
+        parts = open("/proc/stat").readline().split()
+        out["_steal"] = int(parts[8])
+        out["_total"] = sum(map(int, parts[1:9]))
+    except Exception:
+        pass
+    return out
+
+
 def _run_bench() -> dict:
     import ray
     import ray.data
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    noise0 = _noise_probe()
 
     ray.init(
         address="local",
@@ -96,10 +115,21 @@ def _run_bench() -> dict:
             res = res.to_pandas()  # consume
         q_times[name] = round(time.perf_counter() - t0, 3)
 
+    noise1 = _noise_probe()
+    noise = {}
+    if "cpu_pressure_avg10" in noise1:
+        noise["pressure_avg10_start"] = noise0.get("cpu_pressure_avg10")
+        noise["pressure_avg10_end"] = noise1["cpu_pressure_avg10"]
+        dt = noise1.get("_total", 0) - noise0.get("_total", 0)
+        if dt > 0:
+            noise["steal_frac"] = round(
+                (noise1["_steal"] - noise0["_steal"]) / dt, 4
+            )
     result = {
         "metric": "curate_docs_per_sec",
         "value": round(headline_sec, 3),
         "unit": "sec",
+        "noise": noise,
         "docs_per_sec": round(n_pages / headline_sec, 1),
         "n_docs": n_pages,
         "queries": q_times,
