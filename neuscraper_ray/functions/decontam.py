@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from neuscraper_ray.config import NUM_BUCKETS
 from neuscraper_ray.functions.polyhash import DocWords, doc_shingles32
 
 DEFAULT_MODULUS = 20  # doc_id % modulus == 0 -> benchmark member
@@ -67,7 +68,7 @@ def benchmark_shingle_array(
         # distinct via a coarse-bucket shuffle, NOT Dataset.unique
         # (which groups per VALUE — per-group Python at shingle
         # cardinality); in-bucket distinct is one np.unique
-        return pa.table({"s32": u, "sb": (u % 64).astype(np.int32)})
+        return pa.table({"s32": u, "sb": (u % NUM_BUCKETS).astype(np.int32)})
 
     def distinct_bucket(df) -> "pa.Table":
         u = np.unique(df["s32"].to_numpy())
@@ -78,7 +79,7 @@ def benchmark_shingle_array(
         .groupby("sb")
         .map_groups(distinct_bucket, batch_format="pandas")
         .take_all()
-    )  # <= 64 rows, one distinct-shingle list per bucket
+    )  # <= NUM_BUCKETS rows, one distinct-shingle list per bucket
     if not rows:
         return np.empty(0, dtype=np.uint64)
     vals = np.concatenate([np.asarray(r["vals"], dtype=np.int64) for r in rows])
