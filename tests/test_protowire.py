@@ -130,3 +130,32 @@ def test_vdom_features_schema_roundtrip():
     vals = {name: i * 3 - 5 for i, name in enumerate(FIELD_ORDER)}
     buf = encode_message(vals, VDOM_FEATURES_SCHEMA)
     assert decode_message(buf, VDOM_FEATURES_SCHEMA) == vals
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_i32 = st.integers(-(2**31), 2**31 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    url=st.text(max_size=50),
+    topic=st.lists(st.text(max_size=10), max_size=5),
+    html=st.binary(max_size=200),
+    anns=st.lists(st.tuples(_i32, st.integers(0, 6)), max_size=8),
+    feats=st.lists(st.text(max_size=30), max_size=6),
+)
+def test_roundtrip_property(url, topic, html, anns, feats):
+    msg = {
+        "url": url,
+        "urlhash": "h",
+        "language": "xx",
+        "topic": topic,
+        "htmlByte": html,
+        "annotations": [{"nodeId": n, "type": t} for n, t in anns],
+        "nodeRawFeature": feats,
+        "cw22id": "id",
+    }
+    out = decode_message(encode_message(msg, ANNOTATE_HTML_SCHEMA), ANNOTATE_HTML_SCHEMA)
+    assert out == msg
