@@ -256,26 +256,10 @@ def jaccard_verified_pairs(
 
     shingles = ds.map_batches(shingle_rows, batch_format="pyarrow").materialize()
 
-    # global pair dedup (candidates are a multiset across bands):
-    # bucket on a pair hash, vectorized in-bucket drop_duplicates
-    cand = minhash_candidate_pairs(ds, num_buckets=num_buckets)
-
-    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["id_a"].to_numpy()
-        b = df["id_b"].to_numpy()
-        df["pb"] = ((_mix64(a) ^ _mix64(b)) % np.uint64(num_buckets)).astype(
-            np.int32
-        )
-        return df
-
-    edges = (
-        cand.map_batches(add_pb, batch_format="pandas")
-        .groupby("pb")
-        .map_groups(
-            lambda d: d.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
-            batch_format="pandas",
-        )
-    )
+    # candidates are a multiset across bands; ALL copies of a pair
+    # share the id_a join bucket, so the global dedup happens in-bucket
+    # via left_prepare — no separate dedup shuffle
+    edges = minhash_candidate_pairs(ds, num_buckets=num_buckets)
 
     edge_schema = _pa.schema([("id_a", _pa.int64()), ("id_b", _pa.int64())])
     sh_schema = _pa.schema(
@@ -284,6 +268,7 @@ def jaccard_verified_pairs(
     withe_a = hash_join(
         edges, shingles, "id_a", "doc_id", edge_schema, sh_schema,
         num_buckets=num_buckets,
+        left_prepare=lambda lf: lf.unique(subset=["id_a", "id_b"]),
     ).map_batches(
         lambda t: t.rename_columns(["id_a", "id_b", "sh_a"]),
         batch_format="pyarrow",

@@ -66,6 +66,7 @@ def hash_join(
     how: str = "inner",
     num_buckets: int = NUM_BUCKETS,
     right_prepare=None,
+    left_prepare=None,
 ) -> ray.data.Dataset:
     """Co-partitioned hash join on int64 keys -> Dataset with the key
     (named ``left_on``) + both sides' payload columns.
@@ -74,13 +75,15 @@ def hash_join(
     upstream would execute it twice). Non-key column names must be
     disjoint; ``how`` is "inner" or "left".
 
-    ``right_prepare`` (optional, polars DataFrame -> DataFrame, keyed
-    by ``left_on``) runs on the right side INSIDE each bucket before
-    the join. This is the aggregate-before-join pattern fused into the
-    join's own shuffle: feed per-batch combiner partials as ``right``
-    and finish the per-key aggregation here — one all-to-all total,
-    and never a high-cardinality ``Dataset.groupby().aggregate()``
-    (whose per-group Python cost dwarfs the data at scale).
+    ``right_prepare`` / ``left_prepare`` (optional, polars DataFrame ->
+    DataFrame, keyed by ``left_on``) run on their side INSIDE each
+    bucket before the join. This fuses per-key work into the join's
+    own shuffle — aggregate-before-join on the right (feed combiner
+    partials, finish the sum here), dedup/filter on the left (all
+    copies of a key land in one bucket, so in-bucket dedup is global)
+    — one all-to-all total, and never a high-cardinality
+    ``Dataset.groupby().aggregate()`` (whose per-group Python cost
+    dwarfs the data at scale).
     """
     l_payload = [f for f in left_schema if f.name != left_on]
     r_payload = [f for f in right_schema if f.name != right_on]
@@ -124,6 +127,8 @@ def hash_join(
         df = pl.from_arrow(t)
         lf = df.filter(pl.col("__side") == 0).select([left_on] + l_names)
         rf = df.filter(pl.col("__side") == 1).select([left_on] + r_names)
+        if left_prepare is not None:
+            lf = left_prepare(lf)
         if right_prepare is not None:
             rf = right_prepare(rf)
         joined = lf.join(rf, on=left_on, how="inner" if how == "inner" else "left")
