@@ -61,7 +61,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_clusters": polyhash.sql_minhash_clusters("documents"),
         "docs_stratified_sample": (
             "SELECT doc_id, lang FROM documents WHERE "
-            "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT "
+            "(" + polyhash.sql_fingerprint("doc_id::VARCHAR") + ") "
             "% (CASE WHEN lang = 'en' THEN 2 ELSE 10 END) = 0"
         ),
         "docs_decontaminate": polyhash.sql_decontaminate("documents"),
@@ -85,7 +85,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_sample": (
             "SELECT event_id, event_type FROM events "
-            "WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 20 = 0"
+            "WHERE (" + polyhash.sql_fingerprint("event_id::VARCHAR") + ") % 20 = 0"
         ),
         "docs_token_count": (
             "SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_tokens "

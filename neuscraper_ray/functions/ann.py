@@ -108,12 +108,15 @@ def lsh_topk(
                 flip |= 1 << b
             probe.add(qh ^ flip)
     probe_arr = np.array(sorted(probe))
-    q_ref = ray.put((q, probe_arr))
+    # broadcast ALL per-query state (query matrix, probe set, plane
+    # matrix) once via ray.put — the hasher is not captured by the task
+    # closure, so nothing is re-pickled per task
+    q_ref = ray.put((q, probe_arr, hasher.planes))
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        qm, probes = ray.get(q_ref)
+        qm, probes, planes = ray.get(q_ref)
         m = _normalize(_stack(batch.column(vec_col)))
-        h = hasher.hash(m)
+        h = ((m @ planes) > 0) @ (1 << np.arange(planes.shape[1]))
         mask = np.isin(h, probes)
         if not mask.any():
             return pa.table({id_col: np.array([], dtype=np.int64), "cosine": np.array([], dtype=np.float64)})

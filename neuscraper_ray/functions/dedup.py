@@ -471,6 +471,7 @@ def propagate_min_labels(
             }
         )
 
+    converged = False
     for _ in range(max_rounds):
         msgs = (
             sym.union(labels.map_batches(label_rows, batch_format="pyarrow"))
@@ -480,8 +481,19 @@ def propagate_min_labels(
         labels = _min_label_by_node(msgs).materialize()
         new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # A component with diameter > max_rounds (a long chain of
+        # pairwise near-dups) would otherwise return WRONG cluster ids
+        # silently, diverging from the recursive-CTE oracle. Fail loud;
+        # the caller can rerun with a higher bound.
+        raise RuntimeError(
+            f"propagate_min_labels did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds); rerun with a larger "
+            "max_rounds"
+        )
 
     out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
     out = out.astype({"doc_id": np.int64, "cluster_id": np.int64})

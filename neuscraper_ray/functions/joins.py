@@ -4,7 +4,7 @@ The engine's other joins are broadcast (small side shipped once via
 ``ray.put``) and sentinel/anti joins; this module covers the remaining
 case — both sides too large to broadcast. Shape: both sides are mapped
 onto one UNIFIED Arrow schema (the other side's columns become typed
-nulls, so integer dtypes survive) plus ``__side`` and a crc32 key
+nulls, so integer dtypes survive) plus ``__side`` and a splitmix64 key
 bucket; the two datasets UNION (a no-op for the streaming executor:
 blocks flow through unchanged), one ``groupby(bucket)`` shuffle
 co-locates matching keys, and the in-bucket join runs in polars (Rust
@@ -19,8 +19,8 @@ usual answer is to pre-aggregate the many side per key BEFORE joining
 (as ``queries.order_totals_join`` does), which this module composes
 with instead of joining raw skewed fact tables.
 
-Bucketing uses ``zlib.crc32`` of the int key bytes — never
-``builtins.hash`` (per-process salt would split groups).
+Bucketing uses the vectorized splitmix64 finalizer over the int keys —
+never ``builtins.hash`` (per-process salt would split groups).
 
 Why not ``Dataset.join`` (native in Ray >= 2.46)? Measured head-to-head
 on the ``order_totals_join`` shape at sf0.01: the native hash join
@@ -37,22 +37,22 @@ joins.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
 import ray.data
 
 from neuscraper_ray.config import NUM_BUCKETS
+from neuscraper_ray.functions.sketch import splitmix64
 
 
-def _crc_bucket_i64(keys: np.ndarray, num_buckets: int) -> np.ndarray:
-    b = keys.astype("<i8").tobytes()
-    return np.fromiter(
-        (zlib.crc32(b[i : i + 8]) % num_buckets for i in range(0, len(b), 8)),
-        dtype=np.int32,
-        count=len(keys),
+def _bucket_i64(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Process-stable int64 -> bucket id in one vectorized numpy pass
+    (splitmix64 finalizer — never ``builtins.hash``, whose per-process
+    salt would split groups; never a per-row Python crc32 loop, which
+    was this join's hottest remaining Python kernel)."""
+    return (splitmix64(keys.astype(np.uint64)) % np.uint64(num_buckets)).astype(
+        np.int32
     )
 
 
@@ -112,7 +112,7 @@ def hash_join(
                     else pa.nulls(n, f.type)
                 )
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-            cols["__bucket"] = pa.array(_crc_bucket_i64(keys, num_buckets))
+            cols["__bucket"] = pa.array(_bucket_i64(keys, num_buckets))
             return pa.table(cols, schema=unified)
 
         return fn

@@ -137,6 +137,33 @@ def fingerprints(texts: list[str]) -> np.ndarray:
     return _segsum_mod(terms, off[:-1], off[1:]).astype(np.int64)
 
 
+_POW10 = np.array([10**i for i in range(20)], dtype=np.uint64)
+
+
+def int_fingerprints(ids: np.ndarray) -> np.ndarray:
+    """``fingerprint(str(i))`` for non-negative integer ids, with zero
+    per-row Python: the decimal digits are extracted arithmetically
+    (div/mod by a power-of-10 table) and folded with the same
+    base-257 mod-M polynomial as ``fingerprints``. Used by the
+    deterministic sampling gates — the DuckDB oracle reproduces it as
+    ``sql_fingerprint('id::VARCHAR')``. Equality with
+    ``fingerprints([str(i) ...])`` is pinned in tests."""
+    x = np.asarray(ids, dtype=np.uint64)
+    n = len(x)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    nd = np.ones(n, dtype=np.int64)  # number of decimal digits
+    for k in range(1, 20):
+        nd += (x >= _POW10[k]).astype(np.int64)
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(int(nd.max())):  # most-significant digit first
+        p = nd - 1 - k
+        act = p >= 0
+        digit = (x[act] // _POW10[p[act]]) % _U(10)
+        h[act] = _red(mulmod(h[act], _U(BASE_FP)) + digit + _U(48))
+    return h.astype(np.int64)
+
+
 def _word_spans(
     codes: np.ndarray, doc_offsets: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -195,18 +222,24 @@ class DocWords:
 
 
 def simhashes(dw: DocWords) -> np.ndarray:
-    """64-bit SimHash per doc -> int64 array (0 for zero-word docs)."""
+    """64-bit SimHash per doc -> int64 array (0 for zero-word docs).
+
+    Per bit-plane, the per-doc sign sum over n words with c set bits is
+    ``2c - n``, so only the per-doc set-bit COUNT is needed — one
+    masked ``np.bincount`` per plane. Transient memory is O(n_words)
+    per plane (a bool mask + selected indices), not the former
+    (n_words, 64) int64 sign/cumsum matrices (~1 KB per word — ~4 GB
+    transient for a 4096-doc batch of 1k-word docs, enough to OOM the
+    box under 32 concurrent tasks)."""
     out = np.zeros(dw.n_docs, dtype=np.uint64)
     if len(dw.h1) == 0:
         return out.view(np.int64)
     wh64 = ((dw.h1 & _MASK32) << _U(32)) | (dw.h2 & _MASK32)
-    shifts = np.arange(64, dtype=np.uint64)
-    signs = (((wh64[:, None] >> shifts[None, :]) & _U(1)).astype(np.int64) * 2) - 1
-    cum = np.zeros((len(wh64) + 1, 64), dtype=np.int64)
-    np.cumsum(signs, axis=0, out=cum[1:])
-    acc = cum[dw.wend] - cum[dw.wstart]  # (n_docs, 64)
-    bits = (acc > 0).astype(np.uint64)
-    out = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    n_words = (dw.wend - dw.wstart).astype(np.int64)
+    for s in range(64):
+        set_docs = dw.word_doc[((wh64 >> _U(s)) & _U(1)).astype(bool)]
+        cnt = np.bincount(set_docs, minlength=dw.n_docs)
+        out |= ((2 * cnt - n_words) > 0).astype(np.uint64) << _U(s)
     return out.view(np.int64)
 
 

@@ -30,6 +30,17 @@ def content_hash_batch(batch: pa.Table, column: str = "text", out: str = "conten
     return batch.append_column(out, pa.array(hashes, pa.string()))
 
 
+def _word_stats_one(t: str) -> tuple[int, int, int]:
+    """Per-doc reference implementation (the semantic contract)."""
+    parts = t.split(" ")
+    n = len(parts)
+    return (
+        n,
+        len({p.lower() for p in parts}),
+        (sum(len(p) for p in parts) * 10000) // n,
+    )
+
+
 def word_stats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Quality-scoring stats with SQL-checkable definitions:
 
@@ -38,19 +49,58 @@ def word_stats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     - mean_word_len_e4 = (sum(len(field)) * 10000) // n_words
       (fixed-point integer so Python and SQL agree exactly — float
       ROUND ties resolve differently between engines)
+
+    Vectorized: n_words is a pyarrow separator count; the char-sum is
+    derived arithmetically (sum(len(field)) = len(text) - n_seps, since
+    every non-separator char belongs to exactly one field); n_distinct
+    runs one polars split/explode/group_by pass. The polars path is
+    gated to ASCII rows (``pc.string_is_ascii``) so Rust vs Python
+    lowercase semantics can never diverge — non-ASCII rows take the
+    bit-identical per-doc fallback (``_word_stats_one``), same pattern
+    as ``stages.heuristics._stats_vectorized``.
     """
-    texts = batch.column(column).to_pylist()
-    n_words = np.empty(len(texts), dtype=np.int64)
-    n_distinct = np.empty(len(texts), dtype=np.int64)
-    mwl = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        parts = t.split(" ")
-        n_words[i] = len(parts)
-        n_distinct[i] = len({p.lower() for p in parts})
-        mwl[i] = (sum(len(p) for p in parts) * 10000) // len(parts)
+    col = batch.column(column)
+    n = batch.num_rows
+    n_seps = pc.count_substring(col, " ").to_numpy().astype(np.int64)
+    n_words = n_seps + 1
+    total_len = pc.utf8_length(col).to_numpy().astype(np.int64) - n_seps
+    mwl = (total_len * 10000) // n_words
+
+    n_distinct = np.empty(n, dtype=np.int64)
+    ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+    if ascii_mask.all():
+        n_distinct[:] = _distinct_lower_fields(col.to_pylist())
+    else:
+        texts = col.to_pylist()
+        idx = np.nonzero(ascii_mask)[0]
+        if len(idx):
+            n_distinct[idx] = _distinct_lower_fields([texts[i] for i in idx])
+        for i in np.nonzero(~ascii_mask)[0]:
+            n_distinct[i] = len({p.lower() for p in texts[i].split(" ")})
+
     out = batch.append_column("n_words", pa.array(n_words))
     out = out.append_column("n_distinct_words", pa.array(n_distinct))
     return out.append_column("mean_word_len_e4", pa.array(mwl))
+
+
+def _distinct_lower_fields(texts: list[str]) -> np.ndarray:
+    """Per-text count of distinct lowercase single-space-split fields,
+    one polars split/explode/group_by pass (ASCII texts only — caller
+    gates). ``str.split(" ")`` keeps empty fields exactly like Python
+    ``str.split(" ")``, so '' and runs of spaces count identically."""
+    import polars as pl
+
+    agg = (
+        pl.DataFrame({"t": pl.Series(texts, dtype=pl.String)})
+        .with_row_index("i")
+        .select(["i", pl.col("t").str.split(" ").alias("w")])
+        .explode("w")
+        .group_by("i")
+        .agg(pl.col("w").str.to_lowercase().n_unique().alias("nd"))
+    )
+    out = np.empty(len(texts), dtype=np.int64)
+    out[agg["i"].to_numpy().astype(np.int64)] = agg["nd"].to_numpy()
+    return out
 
 
 def fingerprint_batch(batch: pa.Table, column: str = "text", out: str = "fingerprint") -> pa.Table:

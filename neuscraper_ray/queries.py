@@ -201,25 +201,21 @@ def docs_jaccard_pairs(sf_dir: str):
 
 def docs_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling: per-language rates (en keeps
-    1-in-2, others 1-in-10) via an md5 hash gate on doc_id — zero
+    1-in-2, others 1-in-10) via a polyhash gate on doc_id — zero
     shuffle, streams, engine-independent (the same rows on any
     partitioning and any rerun), and SQL-verifiable. The scale story
     for corpus downsampling: sampling decisions must be a pure
-    function of the row, never of task layout or RNG state."""
+    function of the row, never of task layout or RNG state. The gate
+    key is ``polyhash.int_fingerprints`` (fingerprint of the decimal
+    id string) — fully vectorized, no per-row digest loop, and
+    reproduced in SQL as ``sql_fingerprint(doc_id::VARCHAR)``."""
+    from neuscraper_ray.functions.polyhash import int_fingerprints
+
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
         mod = np.where(df["lang"].to_numpy() == "en", 2, 10)
-        h = np.fromiter(
-            (
-                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-                for i in df["doc_id"].tolist()
-            ),
-            dtype=np.int64,
-            count=len(df),
-        )
+        h = int_fingerprints(df["doc_id"].to_numpy())
         return df[h % mod == 0]
 
     return ds.map_batches(keep, batch_format="pandas")
@@ -473,8 +469,10 @@ def events_rolling_count(sf_dir: str):
     last 15 minutes (inclusive RANGE semantics, matching SQL
     ``RANGE BETWEEN INTERVAL 15 MINUTE PRECEDING AND CURRENT ROW``).
 
-    Bucketed per-user sorted scan: two searchsorted calls per user give
-    every window count vectorized — no per-event work, no state actor.
+    Bucketed sorted scan: per-user ranges are embedded in disjoint
+    composite-key intervals so TWO searchsorted calls over the whole
+    bucket answer every user's window — no per-event work, no per-user
+    Python loop, no state actor.
     """
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
@@ -483,20 +481,26 @@ def events_rolling_count(sf_dir: str):
         return df
 
     def windows(df: pd.DataFrame) -> pd.DataFrame:
+        # One vectorized pass over the whole bucket — no per-user Python
+        # loop. After sorting by (user, ts), embed each user's events in
+        # a disjoint composite-key range key = user_rank*K + ts_rel with
+        # K > ts_span + delta, so a single global searchsorted answers
+        # every user's window query: a left probe at ts-delta can go at
+        # most `delta` below the user's range start, which still lands
+        # strictly above the previous user's range end.
         df = df.sort_values(["user_id", "ts"], kind="mergesort")
-        out_ids = []
-        out_counts = []
-        delta = np.timedelta64(15, "m")
-        for _, g in df.groupby("user_id", sort=False):
-            ts = g["ts"].to_numpy()
-            left = np.searchsorted(ts, ts - delta, side="left")
-            right = np.searchsorted(ts, ts, side="right")
-            out_ids.append(g["event_id"].to_numpy())
-            out_counts.append(right - left)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        delta = np.int64(15 * 60 * 1_000_000)
+        urank = pd.factorize(df["user_id"].to_numpy())[0].astype(np.int64)
+        ts_rel = ts - (ts.min() if len(ts) else 0)
+        K = (ts_rel.max() if len(ts) else 0) + delta + 2
+        key = urank * K + ts_rel
+        left = np.searchsorted(key, key - delta, side="left")
+        right = np.searchsorted(key, key, side="right")
         return pd.DataFrame(
             {
-                "event_id": np.concatenate(out_ids),
-                "n_15min": np.concatenate(out_counts).astype(np.int64),
+                "event_id": df["event_id"].to_numpy(),
+                "n_15min": (right - left).astype(np.int64),
             }
         )
 
@@ -509,28 +513,23 @@ def events_rolling_count(sf_dir: str):
 
 def events_sample(sf_dir: str):
     """Seeded shuffle (O4 parity) + DETERMINISTIC 5% hash sample: keep
-    a row iff the first 8 hex chars of md5(event_id) mod 20 == 0.
+    a row iff ``fingerprint(str(event_id)) % 20 == 0``.
 
     Unlike a seeded ``random_sample`` (engine-specific RNG, rows-only
     checkable), the kept SET is engine-independent — the DuckDB oracle
-    reproduces it exactly. Hash-sampling is also the scale-correct
-    semantics: it streams with zero shuffle and re-runs pick the same
-    rows. The ``random_shuffle(seed=7)`` stays to exercise the seeded
-    shuffle operator; the driver compare is order-insensitive."""
-    import hashlib
+    reproduces it exactly (``sql_fingerprint(event_id::VARCHAR)``).
+    Hash-sampling is also the scale-correct semantics: it streams with
+    zero shuffle and re-runs pick the same rows, with the gate one
+    vectorized ``int_fingerprints`` pass (no per-row digest loop). The
+    ``random_shuffle(seed=7)`` stays to exercise the seeded shuffle
+    operator; the driver compare is order-insensitive."""
+    from neuscraper_ray.functions.polyhash import int_fingerprints
 
     ds = _read(sf_dir, "events", ["event_id", "event_type"])
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        mask = np.fromiter(
-            (
-                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 20 == 0
-                for i in df["event_id"].tolist()
-            ),
-            dtype=bool,
-            count=len(df),
-        )
-        return df[mask]
+        h = int_fingerprints(df["event_id"].to_numpy())
+        return df[h % 20 == 0]
 
     return ds.random_shuffle(seed=7).map_batches(keep, batch_format="pandas")
 
@@ -542,8 +541,8 @@ def events_asof_join(sf_dir: str):
     Partitioning assumption (documented per the custom-operator rule):
     both sides co-partition on ``user_id % NUM_BUCKETS``, so every
     (purchase, candidate-view) pair meets inside one bucket; in-bucket
-    the match is two vectorized ``searchsorted`` calls per user over
-    ts-sorted frames. Emits microsecond-exact gaps so the DuckDB
+    the match is ONE vectorized ``searchsorted`` over composite
+    (user-rank, ts) keys covering every user at once. Emits microsecond-exact gaps so the DuckDB
     ``ASOF JOIN`` oracle agrees bit-for-bit; ties on (user, ts) are
     payload-neutral (we emit the matched ts, not an id)."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
@@ -553,26 +552,14 @@ def events_asof_join(sf_dir: str):
         return df
 
     def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # One vectorized pass: composite key user_rank*K + ts_rel makes
+        # each user's views a contiguous sorted range, so a single
+        # searchsorted over ALL views answers every purchase's as-of
+        # probe; a probe landing outside the buyer's own view range
+        # (user with no view at-or-before) is rejected by the user
+        # equality check. No per-user Python loop.
         df = df.sort_values(["user_id", "ts"], kind="mergesort")
-        out_id, out_vts, out_gap = [], [], []
-        for _, g in df.groupby("user_id", sort=False):
-            views = g[g["event_type"] == "view"]
-            buys = g[g["event_type"] == "purchase"]
-            if views.empty or buys.empty:
-                continue
-            vts = views["ts"].to_numpy()
-            bts = buys["ts"].to_numpy()
-            ix = np.searchsorted(vts, bts, side="right") - 1
-            ok = ix >= 0
-            if not ok.any():
-                continue
-            out_id.append(buys["event_id"].to_numpy()[ok])
-            matched = vts[ix[ok]]
-            out_vts.append(matched)
-            out_gap.append(
-                (bts[ok] - matched).astype("timedelta64[us]").astype(np.int64)
-            )
-        if not out_id:
+        if not len(df):
             return pd.DataFrame(
                 {
                     "event_id": pd.Series(dtype=np.int64),
@@ -580,11 +567,28 @@ def events_asof_join(sf_dir: str):
                     "gap_us": pd.Series(dtype=np.int64),
                 }
             )
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        ts_i = ts.astype(np.int64)
+        urank = pd.factorize(df["user_id"].to_numpy())[0].astype(np.int64)
+        ts_rel = ts_i - ts_i.min()
+        K = ts_rel.max() + 2
+        key = urank * K + ts_rel
+        etype = df["event_type"].to_numpy()
+        vm = etype == "view"
+        bm = etype == "purchase"
+        vkey, vts, vuser = key[vm], ts[vm], urank[vm]
+        bkey = key[bm]
+        ix = np.searchsorted(vkey, bkey, side="right") - 1
+        ok = ix >= 0
+        ok[ok] = vuser[ix[ok]] == urank[bm][ok]
+        matched = vts[ix[ok]]
         return pd.DataFrame(
             {
-                "event_id": np.concatenate(out_id),
-                "view_ts": np.concatenate(out_vts),
-                "gap_us": np.concatenate(out_gap),
+                "event_id": df["event_id"].to_numpy()[bm][ok],
+                "view_ts": matched,
+                "gap_us": (ts[bm][ok] - matched)
+                .astype("timedelta64[us]")
+                .astype(np.int64),
             }
         )
 

@@ -43,13 +43,23 @@ _TOXIC_RE = re.compile(
 
 _DIGIT_RE = re.compile(r"\d")
 
+# The exact set of non-ASCII codepoints Python's re.IGNORECASE treats
+# as equivalent to an ASCII letter (exhaustively enumerated over the
+# whole codepoint space): İ(U+0130)->i, ı(U+0131)->i, ſ(U+017F)->s,
+# K(U+212A)->k. Folding them BEFORE .lower() keeps the substring
+# prescan an exact superset of what _TOXIC_RE can match — .lower()
+# alone misses them (İ lowers to 'i'+combining-dot, ſ/ı to themselves).
+_RE_I_FOLD_FIX = str.maketrans({0x130: "i", 0x131: "i", 0x17F: "s", 0x212A: "k"})
+
 
 def scrub_text(text: str) -> tuple[str, int, int]:
     """-> (scrubbed_text, pii_count, toxic_count). Pure, deterministic.
 
     Gated: each regex pass runs only when a C-speed prescan says it can
     match (email needs '@'; ssn/phone/cc/ipv4 need a digit; toxicity
-    needs a lexicon substring). Replacement tokens ("<EMAIL>" etc.)
+    needs a lexicon substring in the fold-fixed lowercase text — see
+    ``_RE_I_FOLD_FIX`` for why .lower() alone is not a superset of
+    re.IGNORECASE). Replacement tokens ("<EMAIL>" etc.)
     introduce neither digits nor lexicon words, so gating on the text
     as it stands is exact — ~4-8% of real docs hit any gate, turning
     six full scans per clean doc into at most two.
@@ -63,7 +73,7 @@ def scrub_text(text: str) -> tuple[str, int, int]:
             text, n = pat.subn(repl, text)
             pii += n
     tox = 0
-    lower = text.lower()
+    lower = text.translate(_RE_I_FOLD_FIX).lower()
     if any(w in lower for w in TOXIC_LEXICON):
         text, tox = _TOXIC_RE.subn("<TOX>", text)
     return text, pii, tox

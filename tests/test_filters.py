@@ -141,6 +141,13 @@ def test_gated_scrub_matches_ungated():
         "at sign only a@b",
         "4111 1111 1111 1111 card",
         "email.with.digits99@host.tld then 078-05-1120",
+        # re.IGNORECASE folding characters the plain .lower() gate
+        # missed (regression: ſ matches 's', İ/ı match 'i', K matches
+        # 'k' under re.I, so the prescan must fold them too)
+        "ſlurword escapes a lower()-only gate",
+        "vİleword and vıleword both match under re.I",
+        "kelvin sign looK: vileword behind it",
+        "sŁurword near-miss stays clean",
     ]
     for t in cases:
         assert scrub_text(t) == ungated(t), t

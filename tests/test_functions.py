@@ -355,3 +355,53 @@ def test_hash_join_duplicate_keys_cartesian():
     )
     pd.testing.assert_frame_equal(got[["k", "a", "b"]], want[["k", "a", "b"]])
     assert len(got) == 2 * 3 + 3 * 2  # k=1: 2x3, k=3: 3x2
+
+
+def test_int_fingerprints_match_string_fingerprints():
+    """The vectorized decimal-digit fold must equal fingerprint(str(i))
+    exactly — the sampling gates' SQL oracle depends on it."""
+    from neuscraper_ray.functions.polyhash import fingerprints, int_fingerprints
+
+    rng = np.random.RandomState(3)
+    ids = np.concatenate(
+        [
+            np.array([0, 1, 9, 10, 11, 99, 100, 10**18, 2**62], dtype=np.uint64),
+            rng.randint(0, 2**31, size=500).astype(np.uint64),
+            (rng.randint(0, 2**31, size=100).astype(np.uint64) << np.uint64(31)),
+        ]
+    )
+    got = int_fingerprints(ids)
+    want = fingerprints([str(int(i)) for i in ids])
+    assert (got == want).all()
+    assert len(int_fingerprints(np.empty(0, dtype=np.int64))) == 0
+
+
+def test_word_stats_vectorized_matches_reference():
+    """word_stats_batch (pyarrow-arithmetic + ASCII-gated polars
+    n_distinct) must be bit-identical to the per-doc reference on
+    tricky inputs, including the non-ASCII fallback rows."""
+    from neuscraper_ray.functions.textstats import _word_stats_one, word_stats_batch
+
+    texts = [
+        "",
+        " ",
+        "  ",
+        "a",
+        "a b a B A",
+        "x  y",
+        " leading and trailing ",
+        "The QUICK the quick THE",
+        "héllo wörld Ü ü HÉLLO",
+        "mixed ascii and ünïcode row",
+        "a" * 300 + " " + "b" * 5,
+        "tab\tis not a separator here",
+    ]
+    out = word_stats_batch(pa.table({"text": texts}))
+    for i, t in enumerate(texts):
+        want = _word_stats_one(t)
+        got = (
+            out.column("n_words")[i].as_py(),
+            out.column("n_distinct_words")[i].as_py(),
+            out.column("mean_word_len_e4")[i].as_py(),
+        )
+        assert got == want, (t, got, want)

@@ -170,6 +170,22 @@ def test_propagate_min_labels_cross_block_chain():
     assert dict(zip(local["doc_id"], local["cluster_id"])) == want
 
 
+def test_propagate_min_labels_raises_when_unconverged():
+    """Exhausting max_rounds before the fixpoint must fail loud, not
+    return wrong cluster ids (diameter > max_rounds chains diverge from
+    the recursive-CTE oracle silently otherwise)."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(9)]  # diameter 9
+    df = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    ds = ray.data.from_pandas(df).repartition(4)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        propagate_min_labels(ds, num_buckets=4, driver_edge_limit=0, max_rounds=2)
+    # ...and a sufficient bound still converges to the right answer
+    out = propagate_min_labels(ds, num_buckets=4, driver_edge_limit=0, max_rounds=16)
+    assert set(out["cluster_id"]) == {0}
+
+
 def test_propagate_min_labels_empty():
     ds = ray.data.from_pandas(
         pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})

@@ -40,6 +40,29 @@ def test_invariant_holds_across_partitionings():
         assert len(df) == 17 and df["text"].is_unique
 
 
+def test_task_retry_replay_is_idempotent():
+    """The exact worker-loss scenario: a batch whose inserts landed is
+    re-executed (Ray task retry). The replay must get the SAME keep
+    answers — the survivor is not dropped, and the index is unchanged."""
+    import pyarrow as pa
+
+    from neuscraper_ray.stages.streaming_dedup import StreamingDeduper
+
+    dd = StreamingDeduper(n_shards=3)
+    b1 = pa.table({"doc_id": [1, 2, 3, 2], "text": ["a", "b", "c", "b"]})
+    b2 = pa.table({"doc_id": [10, 11], "text": ["b", "d"]})
+    first = dd(b1)
+    assert first.column("doc_id").to_pylist() == [1, 2, 3]
+    # another batch claims nothing already owned
+    assert dd(b2).column("doc_id").to_pylist() == [11]
+    # replay of b1 (identical content => identical owner token)
+    replay = dd(b1)
+    assert replay.column("doc_id").to_pylist() == [1, 2, 3]
+    # replay of b2 likewise
+    assert dd(b2).column("doc_id").to_pylist() == [11]
+    assert dd.index_size() == 4  # a b c d — replays inserted nothing new
+
+
 def test_stream_continues_after_duplicates_dropped():
     # consuming incrementally: later batches of known texts add nothing
     rows = _corpus(n_distinct=10, copies=2)
