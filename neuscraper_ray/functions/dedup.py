@@ -150,6 +150,17 @@ class MinHasher:
         )
 
 
+_MINHASHER_CACHE: dict[tuple, "MinHasher"] = {}
+
+
+def _cached_minhasher(args: tuple) -> "MinHasher":
+    """Per-worker-process MinHasher (params are deterministic)."""
+    mh = _MINHASHER_CACHE.get(args)
+    if mh is None:
+        mh = _MINHASHER_CACHE[args] = MinHasher(*args)
+    return mh
+
+
 def minhash_candidate_pairs(
     ds: ray.data.Dataset,
     n_perm: int = ph.N_PERM,
@@ -162,11 +173,17 @@ def minhash_candidate_pairs(
     Pairs sharing any LSH band bucket; may repeat across coarse buckets
     (different bands) — consumers treat the pair list as a multiset.
     """
-    bands = ds.map_batches(
-        MinHasher(n_perm, n_bands, shingle_k),
-        batch_format="pyarrow",
-        batch_size=1024,
-    )
+    # plain-function stage, NOT an actor pool: the only state (the
+    # seeded permutation params) is deterministic and costs
+    # microseconds to build, so a module-cached instance in ordinary
+    # tasks avoids the per-call actor-pool spin-up (~1 s per query
+    # invocation, measured round 3 — the bulk of the r2 bench delta)
+    hasher_args = (n_perm, n_bands, shingle_k)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        return _cached_minhasher(hasher_args)(batch)
+
+    bands = ds.map_batches(band_rows, batch_format="pyarrow", batch_size=1024)
 
     # group by a COARSE bucket of the band hash (not by (band, band_hash)
     # itself — that cardinality is n_docs x n_bands, and a map_groups

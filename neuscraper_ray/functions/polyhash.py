@@ -311,7 +311,10 @@ def minhash_sigs(
     n_perm = len(a)
     if n_docs == 0:
         return np.empty((0, n_perm), dtype=np.uint64)
-    h = (a[None, :] * sh32[:, None] + b[None, :]) % _M  # < 2^63, exact
+    # a*s + b < 2^63 (exact), so one Mersenne shift-add reduction
+    # replaces the hardware 64-bit division of ``% M`` — same values,
+    # ~4x fewer cycles on the hottest matrix in the minhash path
+    h = _red(a[None, :] * sh32[:, None] + b[None, :])
     starts = np.searchsorted(sh_doc, np.arange(n_docs), "left")
     return np.minimum.reduceat(h, starts, axis=0)
 
