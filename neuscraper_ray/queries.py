@@ -931,8 +931,22 @@ def ann_topk(sf_dir: str):
     return top[["vec_id"]].astype("int64")
 
 
+def _with_recall(top: pd.DataFrame, sf_dir: str) -> pd.DataFrame:
+    """Attach ``recall_at_10`` (overlap with the exact ``ann_topk``
+    result, fixed-point e3) to an approximate top-k frame — the
+    quality of the approximation is self-documenting in the query
+    output, mirroring the recall assertions in tests/test_functions.py.
+    The exact pass is output-sized extra work (one brute-force top-k)."""
+    exact = set(ann_topk(sf_dir)["vec_id"])
+    hit = sum(1 for v in top["vec_id"] if v in exact)
+    top = top.copy()
+    top["recall_at_10_e3"] = np.int64(hit * 1000 // max(1, len(exact)))
+    return top
+
+
 def ann_topk_lsh(sf_dir: str):
-    """LSH-bucketed approximate top-10 (scale path; rows-only check)."""
+    """LSH-bucketed approximate top-10 (scale path; rows-only check —
+    approximate by design, quality surfaced as a recall_at_10 column)."""
     from neuscraper_ray.functions.ann import lsh_topk
 
     query, ds = _ann_query_and_rest(sf_dir)
@@ -940,18 +954,19 @@ def ann_topk_lsh(sf_dir: str):
     # (weak neighbor structure), so recall tracks the probed fraction;
     # clustered real corpora need far fewer probes for the same recall
     top = lsh_topk(ds, query, k=10, multiprobe_hamming=2)
-    return top[["vec_id", "cosine"]]
+    return _with_recall(top[["vec_id", "cosine"]], sf_dir)
 
 
 def ann_topk_ivf(sf_dir: str):
     """IVF-probed approximate top-10 (the inverted-list scale path;
     rows-only: approximate by design — recall@10 vs the exact
-    ``ann_topk`` is asserted in tests/test_functions.py)."""
+    ``ann_topk`` is asserted in tests/test_functions.py AND emitted
+    as a column of the result)."""
     from neuscraper_ray.functions.ann import ivf_topk
 
     query, ds = _ann_query_and_rest(sf_dir)
     top = ivf_topk(ds, query, k=10)
-    return top[["vec_id", "cosine"]]
+    return _with_recall(top[["vec_id", "cosine"]], sf_dir)
 
 
 def embedding_near_pairs(sf_dir: str):
