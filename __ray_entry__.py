@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from neuscraper_ray.functions import polyhash
+    from neuscraper_ray.stages import heuristics as _heur
 
     return {
         "docs_fingerprint": (
@@ -109,6 +110,8 @@ def oracle_sql() -> dict[str, str]:
             "((list_sum(list_transform(str_split(text, ' '), x -> len(x))) * 10000) // len(str_split(text, ' ')))::BIGINT AS mean_word_len_e4 "
             "FROM documents"
         ),
+        "docs_repetition_stats": polyhash.sql_repetition_stats("documents"),
+        "docs_quality_filter": _heur.sql_quality_filter("documents"),
         "docs_scrub": (
             "WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 "
             "THEN ' contact user' || doc_id || '@example.com or 192.168.0.' "

@@ -213,6 +213,7 @@ class DocWords:
         codes, self.doc_offsets = batch_codes(texts)
         self.n_docs = len(texts)
         starts, ends, self.word_doc = _word_spans(codes, self.doc_offsets)
+        self.wlen = (ends - starts).astype(np.int64)  # codepoints per word
         codes_l = _lower(codes)
         self.h1 = _word_hashes(codes_l, starts, ends, BASE_W1)
         self.h2 = _word_hashes(codes_l, starts, ends, BASE_W2)
@@ -461,6 +462,45 @@ SELECT s.doc_id, count(b.s32)::BIGINT AS n_shared,
 FROM shu s LEFT JOIN bench b ON s.s32 = b.s32
 WHERE s.doc_id % {modulus} <> 0
 GROUP BY s.doc_id
+"""
+
+
+def sql_repetition_stats(table: str = "documents") -> str:
+    """Full DuckDB statement: Gopher-style repetition stats ->
+    (doc_id, n_words, total_chars, top2_cov, dup3_chars BIGINT).
+    Value-identical to ``textstats.repetition_stats_batch`` (same word
+    hashes, same unmasked shingle fold for gram identity, same
+    max-over-group gram length)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {sql_word_list('text')} AS ws FROM {table}
+),
+hw AS (
+  SELECT doc_id, length(text)::BIGINT AS total_chars,
+    list_transform(ws, w -> {sql_word_hash('w', BASE_W1)}) AS hs,
+    list_transform(ws, w -> length(w)::BIGINT) AS ls
+  FROM d
+),
+g2 AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(hs)), i -> (hs[i]*{BASE_S} + hs[i+1]) % {MOD})) AS gh,
+    unnest(list_transform(range(1, len(hs)), i -> ls[i] + ls[i+1])) AS glen
+  FROM hw
+),
+g3 AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(hs)-1),
+      i -> (((hs[i]*{BASE_S} + hs[i+1]) % {MOD})*{BASE_S} + hs[i+2]) % {MOD})) AS gh,
+    unnest(list_transform(range(1, len(hs)-1), i -> ls[i] + ls[i+1] + ls[i+2])) AS glen
+  FROM hw
+),
+grp2 AS (SELECT doc_id, gh, count(*) AS cnt, max(glen) AS glen FROM g2 GROUP BY doc_id, gh),
+grp3 AS (SELECT doc_id, gh, count(*) AS cnt, max(glen) AS glen FROM g3 GROUP BY doc_id, gh),
+top2 AS (SELECT doc_id, max(cnt*glen) AS v FROM grp2 GROUP BY doc_id),
+dup3 AS (SELECT doc_id, sum(cnt*glen) AS v FROM grp3 WHERE cnt >= 2 GROUP BY doc_id)
+SELECT h.doc_id, len(h.hs)::BIGINT AS n_words, h.total_chars,
+  coalesce(t.v, 0)::BIGINT AS top2_cov, coalesce(u.v, 0)::BIGINT AS dup3_chars
+FROM hw h LEFT JOIN top2 t USING (doc_id) LEFT JOIN dup3 u USING (doc_id)
 """
 
 

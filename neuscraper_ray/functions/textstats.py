@@ -103,6 +103,80 @@ def _distinct_lower_fields(texts: list[str]) -> np.ndarray:
     return out
 
 
+def _gram_groups(dw, k: int):
+    """Per-doc word-k-gram groups -> (gdoc ascending, cnt, glen).
+
+    Gram identity is the polyhash shingle fold (h=0; h = h*1000003 +
+    word_hash) WITHOUT the 32-bit mask; glen = total codepoints of the
+    gram's words (max over the group, which only differs on a hash
+    collision — the SQL twin takes the same max)."""
+    from neuscraper_ray.functions import polyhash as ph
+
+    h, wd = dw.h1, dw.word_doc
+    z = np.empty(0, dtype=np.int64)
+    if len(h) < k:
+        return z, z, z
+    valid = np.nonzero(wd[: len(h) - k + 1] == wd[k - 1 :])[0]
+    if len(valid) == 0:
+        return z, z, z
+    g = np.zeros(len(valid), dtype=np.uint64)
+    glen = np.zeros(len(valid), dtype=np.int64)
+    for j in range(k):
+        g = ph._red(ph.mulmod(g, np.uint64(ph.BASE_S)) + h[valid + j])
+        glen += dw.wlen[valid + j]
+    doc = wd[valid]
+    order = np.lexsort((g, doc))
+    gs, ds_, ls = g[order], doc[order], glen[order]
+    new = np.concatenate([[True], (ds_[1:] != ds_[:-1]) | (gs[1:] != gs[:-1])])
+    first = np.nonzero(new)[0]
+    cnt = np.diff(np.append(first, len(gs)))
+    return ds_[new], cnt, np.maximum.reduceat(ls, first)
+
+
+def repetition_stats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition stats (Rae et al. 2021
+    §A.1.1, adapted to word n-grams over newline-free text), integer
+    -exact so DuckDB reproduces them value-for-value
+    (``polyhash.sql_repetition_stats``):
+
+    - n_words     = polyhash word count (whitespace runs — NOT the
+      single-space split of ``word_stats_batch``)
+    - total_chars = codepoints of the text
+    - top2_cov    = max over distinct word-2-grams of
+      count * gram_codepoints ("characters in the most repeated
+      2-gram"; max-coverage form keeps the tie-break engine-neutral)
+    - dup3_chars  = sum over word-3-grams occurring >= 2 times of
+      count * gram_codepoints ("characters in duplicated 3-grams")
+
+    One vectorized pass per batch (shared DocWords analysis), zero
+    shuffle — the scale profile of a pure map stage."""
+    from neuscraper_ray.functions import polyhash as ph
+
+    texts = batch.column(column).to_pylist()
+    dw = ph.DocWords(texts)
+    n_words = (dw.wend - dw.wstart).astype(np.int64)
+    total_chars = (dw.doc_offsets[1:] - dw.doc_offsets[:-1]).astype(np.int64)
+
+    top2 = np.zeros(dw.n_docs, dtype=np.int64)
+    gdoc, cnt, glen = _gram_groups(dw, 2)
+    if len(gdoc):
+        present = np.concatenate([[True], gdoc[1:] != gdoc[:-1]])
+        top2[gdoc[present]] = np.maximum.reduceat(cnt * glen, np.nonzero(present)[0])
+
+    dup3 = np.zeros(dw.n_docs, dtype=np.int64)
+    gdoc, cnt, glen = _gram_groups(dw, 3)
+    dup = cnt >= 2
+    if dup.any():
+        gdoc, cov = gdoc[dup], (cnt * glen)[dup]
+        present = np.concatenate([[True], gdoc[1:] != gdoc[:-1]])
+        dup3[gdoc[present]] = np.add.reduceat(cov, np.nonzero(present)[0])
+
+    out = batch.append_column("n_words", pa.array(n_words))
+    out = out.append_column("total_chars", pa.array(total_chars))
+    out = out.append_column("top2_cov", pa.array(top2))
+    return out.append_column("dup3_chars", pa.array(dup3))
+
+
 def fingerprint_batch(batch: pa.Table, column: str = "text", out: str = "fingerprint") -> pa.Table:
     """64-bit rolling (polynomial) hash of the text — a cheap document
     fingerprint for shard-level dedup indexes. Deterministic (base 257,

@@ -109,6 +109,33 @@ def docs_word_stats(sf_dir: str):
     )
 
 
+def docs_repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition quality stats (Rae et
+    al. 2021 §A.1.1 adapted to word n-grams): per doc the character
+    coverage of the most-repeated word-2-gram and of all duplicated
+    word-3-grams. Pure map stage — zero shuffle at any corpus size;
+    integer-exact so the DuckDB oracle reproduces it value-for-value
+    (``polyhash.sql_repetition_stats``)."""
+    from neuscraper_ray.functions.textstats import repetition_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_words", "total_chars", "top2_cov", "dup3_chars"]
+    )
+
+
+def docs_quality_filter(sf_dir: str):
+    """Standalone Gopher-rule quality filter over the raw corpus:
+    per-doc keep/drop decision + first-failing-rule drop_reason, with
+    every ratio threshold in cross-multiplied integer form (exact, so
+    the DuckDB oracle reproduces it value-for-value). Pure map stage —
+    zero shuffle at any corpus size."""
+    from neuscraper_ray.stages.heuristics import quality_filter_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_filter_batch, batch_format="pyarrow")
+
+
 def docs_length_filter(sf_dir: str):
     """Range filter pushed INTO the parquet read (row-group statistics
     prune untouched ranges; the reader applies the exact predicate) —
@@ -1063,6 +1090,8 @@ ALL_QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_lang_stats": docs_lang_stats,
     "docs_word_stats": docs_word_stats,
+    "docs_repetition_stats": docs_repetition_stats,
+    "docs_quality_filter": docs_quality_filter,
     "docs_length_filter": docs_length_filter,
     "docs_scrub": docs_scrub,
     "docs_langid": docs_langid,

