@@ -112,6 +112,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_repetition_stats": polyhash.sql_repetition_stats("documents"),
         "docs_quality_filter": _heur.sql_quality_filter("documents"),
+        "docs_source_quality": (
+            "WITH qf AS (" + _heur.sql_quality_filter("documents") + ") "
+            "SELECT d.source, count(*)::BIGINT AS n_docs, "
+            "sum(qf.keep)::BIGINT AS n_kept, "
+            "((sum(qf.keep) * 10000) // count(*))::BIGINT AS keep_rate_e4, "
+            "((sum(d.n_chars) * 100) // count(*))::BIGINT AS avg_chars_e2 "
+            "FROM documents d JOIN qf USING (doc_id) GROUP BY d.source"
+        ),
+        "docs_lm_buckets": (
+            "WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, "
+            "'[ \\t\\n\\x0b\\x0c\\r]+'), w -> w != '') AS ws FROM documents), "
+            "tok AS (SELECT doc_id, unnest(list_transform(ws, w -> lower(w))) AS term FROM d), "
+            "tc AS (SELECT term, count(*)::HUGEINT AS c FROM tok GROUP BY term), "
+            "tot AS (SELECT sum(c)::HUGEINT AS t FROM tc), "
+            "fs AS (SELECT doc_id, sum(c)::HUGEINT AS freqsum, count(*)::HUGEINT AS nw "
+            "FROM tok JOIN tc USING (term) GROUP BY doc_id), "
+            "sc AS (SELECT d.doc_id, coalesce("
+            "(fs.freqsum * 1000000) // (fs.nw * (SELECT t FROM tot)), 0)::BIGINT AS score_ppm "
+            "FROM d LEFT JOIN fs USING (doc_id)), "
+            "th AS (SELECT quantile_disc(score_ppm, 0.3333333333333333) AS t1, "
+            "quantile_disc(score_ppm, 0.6666666666666666) AS t2 FROM sc) "
+            "SELECT doc_id, score_ppm, CASE WHEN score_ppm >= t2 THEN 'head' "
+            "WHEN score_ppm >= t1 THEN 'middle' ELSE 'tail' END AS lm_bucket "
+            "FROM sc, th"
+        ),
         "docs_scrub": (
             "WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 "
             "THEN ' contact user' || doc_id || '@example.com or 192.168.0.' "

@@ -191,6 +191,10 @@ def _scaling() -> None:
                 "sec_32": t_hi,
                 "docs_per_sec_8": lo["docs_per_sec"],
                 "docs_per_sec_32": hi["docs_per_sec"],
+                "cpus_lo": lo_cpus,
+                "cpus_hi": hi_cpus,
+                "noise_lo": lo.get("noise", {}),
+                "noise_hi": hi.get("noise", {}),
                 "n_docs": hi["n_docs"],
                 "sf": hi["sf"],
             }

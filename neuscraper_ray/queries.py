@@ -136,6 +136,48 @@ def docs_quality_filter(sf_dir: str):
     return ds.map_batches(quality_filter_batch, batch_format="pyarrow")
 
 
+def docs_source_quality(sf_dir: str):
+    """Per-source quality rollup: how much of each ingest source
+    survives the Gopher filter, at what average length. The curation
+    report a 100-TB operator needs before deciding which crawls to
+    keep. Map-side combiner (one row per source per batch) -> tiny
+    low-cardinality groupby; fixed-point integer rates so DuckDB
+    matches bit-for-bit."""
+    from neuscraper_ray.stages.heuristics import drop_reasons
+
+    ds = _read(sf_dir, "documents", ["text", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        reason, _ = drop_reasons(t.column("text").to_pylist())
+        df = pd.DataFrame(
+            {
+                "source": t.column("source").to_numpy(zero_copy_only=False),
+                "kept": (reason == "").astype(np.int64),
+                "n_chars": t.column("n_chars").to_numpy(),
+            }
+        )
+        g = df.groupby("source", sort=False, as_index=False).agg(
+            n_docs=("kept", "size"), n_kept=("kept", "sum"), sum_chars=("n_chars", "sum")
+        )
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["n_kept"] = df["n_kept"].astype("int64")
+    df["keep_rate_e4"] = (df["n_kept"] * 10000) // df["n_docs"]
+    df["avg_chars_e2"] = (df["sum_chars"].astype("int64") * 100) // df["n_docs"]
+    return df[["source", "n_docs", "n_kept", "keep_rate_e4", "avg_chars_e2"]]
+
+
 def docs_length_filter(sf_dir: str):
     """Range filter pushed INTO the parquet read (row-group statistics
     prune untouched ranges; the reader applies the exact predicate) —
@@ -417,6 +459,140 @@ def docs_top_terms(sf_dir: str):
     )
     cand = cand.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
     return cand.head(k).reset_index(drop=True)
+
+
+def docs_lm_buckets(sf_dir: str):
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359), with the pretrained KenLM replaced by a
+    corpus-derived unigram LM so the whole operator is integer-exact
+    and SQL-verifiable: per-doc mean relative token frequency in ppm
+    (``(freqsum * 1e6) // (n_tokens * total_tokens)`` — bounded
+    [0, 1e6], so the quantile histogram stays corpus-size-independent),
+    then head/middle/tail by exact tertiles.
+
+    Scale shape: (1) vocab built with the combiner + crc32-term-bucket
+    merge (the top_terms machinery, no top-k) and broadcast via
+    ray.put — at 10^9-term web vocab you'd shard the broadcast by the
+    same term bucket; (2) one vectorized polars join per batch scores
+    docs; (3) tertiles read off a bounded (value, count) histogram;
+    (4) one broadcast-threshold label pass. Scores are materialized
+    once (2 int columns) and reused for both the histogram and the
+    label pass."""
+    import zlib
+
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # ---- pass 1: corpus vocab (lowered term -> count), distributed merge
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        pf = pl.from_arrow(t.select(["text"]))
+        agg = (
+            pf.select(
+                pl.col("text")
+                .str.extract_all(r"[^ \t\n\x0b\x0c\r]+")
+                .alias("w")
+            )
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(pl.col("w").str.to_lowercase())
+            .group_by("w")
+            .agg(pl.len().alias("n"))
+            .rename({"w": "term"})
+        )
+        out = agg.to_arrow().cast(pa.schema([("term", pa.string()), ("n", pa.int64())]))
+        terms = out.column("term").to_pylist()
+        hb = np.fromiter(
+            (zlib.crc32(w.encode("utf-8")) % NUM_BUCKETS for w in terms),
+            dtype=np.int32,
+            count=len(terms),
+        )
+        return out.append_column("hb", pa.array(hb))
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", sort=False, as_index=False)["n"].sum()
+
+    vocab = (
+        ds.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    total_tokens = int(vocab["n"].sum())
+    vocab_ref = ray.put(pl.DataFrame({"term": vocab["term"], "c": vocab["n"]}))
+
+    # ---- pass 2: per-doc score_ppm over the broadcast LM
+    def score_batch(t: pa.Table) -> pa.Table:
+        vdf = ray.get(vocab_ref)
+        n = t.num_rows
+        pf = pl.from_arrow(t.select(["text"]))
+        agg = (
+            pf.select(
+                pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
+            )
+            .with_row_index("i")
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(pl.col("w").str.to_lowercase())
+            .join(vdf, left_on="w", right_on="term", how="left")
+            .group_by("i")
+            .agg(pl.len().alias("nw"), pl.col("c").sum().alias("freqsum"))
+        )
+        nw = np.zeros(n, dtype=np.int64)
+        fs = np.zeros(n, dtype=np.int64)
+        ii = agg["i"].to_numpy().astype(np.int64)
+        nw[ii] = agg["nw"].to_numpy()
+        fs[ii] = agg["freqsum"].to_numpy()
+        # ppm of mean relative token frequency; int64-safe while
+        # freqsum * 1e6 < 2^63 (holds through ~10^12 total tokens; the
+        # SQL twin uses HUGEINT throughout)
+        denom = np.where(nw > 0, nw * total_tokens, 1)
+        score = np.where(nw > 0, (fs * 1_000_000) // denom, 0)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "score_ppm": pa.array(score)}
+        )
+
+    scores = ds.map_batches(score_batch, batch_format="pyarrow").materialize()
+
+    # ---- pass 3: exact tertiles off the bounded histogram
+    import math
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(t.column("score_ppm").to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "value": vals,
+                "cnt": cnts.astype(np.int64),
+                "hb": (vals % 16).astype(np.int32),
+            }
+        )
+
+    def hist_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("value", sort=False, as_index=False)["cnt"].sum()
+
+    hist = (
+        scores.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(hist_merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values("value")
+    )
+    values = hist["value"].to_numpy()
+    cum = np.cumsum(hist["cnt"].to_numpy())
+    n_total = int(cum[-1]) if len(cum) else 0
+    ts = []
+    for p in (1 / 3, 2 / 3):
+        idx = max(0, math.ceil(p * n_total) - 1)  # DuckDB quantile_disc
+        ts.append(int(values[np.searchsorted(cum, idx + 1)]))
+    t_lo, t_hi = ts
+
+    # ---- pass 4: broadcast-threshold labels
+    def label(t: pa.Table) -> pa.Table:
+        s = t.column("score_ppm").to_numpy()
+        lab = np.where(s >= t_hi, "head", np.where(s >= t_lo, "middle", "tail"))
+        return t.append_column("lm_bucket", pa.array(lab.astype(object)))
+
+    return scores.map_batches(label, batch_format="pyarrow")
 
 
 def docs_fingerprint(sf_dir: str):
@@ -1092,6 +1268,8 @@ ALL_QUERIES = {
     "docs_word_stats": docs_word_stats,
     "docs_repetition_stats": docs_repetition_stats,
     "docs_quality_filter": docs_quality_filter,
+    "docs_source_quality": docs_source_quality,
+    "docs_lm_buckets": docs_lm_buckets,
     "docs_length_filter": docs_length_filter,
     "docs_scrub": docs_scrub,
     "docs_langid": docs_langid,

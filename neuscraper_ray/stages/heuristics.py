@@ -310,16 +310,12 @@ def _counts_one(text: str) -> list:
     ]
 
 
-def quality_filter_batch(batch, column: str = "text"):
-    """pyarrow batch -> (doc_id, n_words, keep BIGINT, drop_reason).
-
-    One polars counts pass (``_counts_vectorized``), integer-exact rule
-    masks, first-failing-rule drop_reason ('' when kept). Pure map
-    stage: zero shuffle at any corpus size."""
+def drop_reasons(texts: list[str]):
+    """-> (reason: object ndarray, '' when kept; n_words int64 ndarray).
+    The shared decision kernel under ``quality_filter_batch`` and the
+    per-source rollup."""
     import numpy as np
-    import pyarrow as pa
 
-    texts = batch.column(column).to_pylist()
     m = _counts_vectorized(texts)
     for i, t in enumerate(texts):
         if _NONUNICODE_WS_RE.search(t):
@@ -331,6 +327,21 @@ def quality_filter_batch(batch, column: str = "text"):
     reason = np.full(len(texts), "", dtype=object)
     for name, pred in reversed(_FILTER_RULES):
         reason[pred(c)] = name
+    return reason, c["nw"]
+
+
+def quality_filter_batch(batch, column: str = "text"):
+    """pyarrow batch -> (doc_id, n_words, keep BIGINT, drop_reason).
+
+    One polars counts pass (``_counts_vectorized``), integer-exact rule
+    masks, first-failing-rule drop_reason ('' when kept). Pure map
+    stage: zero shuffle at any corpus size."""
+    import numpy as np
+    import pyarrow as pa
+
+    texts = batch.column(column).to_pylist()
+    reason, nw = drop_reasons(texts)
+    c = {"nw": nw}
     out = batch.select(["doc_id"])
     out = out.append_column("n_words", pa.array(c["nw"], type=pa.int64()))
     out = out.append_column(
