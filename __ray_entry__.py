@@ -137,6 +137,19 @@ def oracle_sql() -> dict[str, str]:
             "WHEN score_ppm >= t1 THEN 'middle' ELSE 'tail' END AS lm_bucket "
             "FROM sc, th"
         ),
+        "docs_tfidf_terms": (
+            "WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, "
+            "'[ \\t\\n\\x0b\\x0c\\r]+'), w -> w != '') AS ws FROM documents), "
+            "tok AS (SELECT doc_id, unnest(list_transform(ws, w -> lower(w))) AS term FROM d), "
+            "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term), "
+            "sc AS (SELECT tf.doc_id, tf.term, (tf.tf * 1000000) // df.df AS score "
+            "FROM tf JOIN df USING (term)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term ASC) AS rnk FROM sc) "
+            "SELECT doc_id, rnk::BIGINT AS rank, term, score::BIGINT AS score "
+            "FROM r WHERE rnk <= 3"
+        ),
         "docs_scrub": (
             "WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 "
             "THEN ' contact user' || doc_id || '@example.com or 192.168.0.' "

@@ -111,6 +111,9 @@ def _run_bench() -> dict:
         "docs_scrub",
         "docs_decontaminate",
         "docs_top_terms",
+        "docs_quality_filter",
+        "docs_repetition_stats",
+        "docs_lm_buckets",
         "events_asof_join",
         "order_totals_join",
         "ann_topk",

@@ -595,6 +595,97 @@ def docs_lm_buckets(sf_dir: str):
     return scores.map_batches(label, batch_format="pyarrow")
 
 
+def docs_tfidf_terms(sf_dir: str):
+    """Top-3 TF-IDF keywords per document — the keyword-extraction
+    operator of a curation report. Integer-exact score
+    ``(tf * 1e6) // df`` (rank-equivalent to tf·idf for a fixed
+    corpus; no float log so DuckDB reproduces the ranking and its
+    term-asc tie-break value-for-value).
+
+    Scale shape: document frequencies are built with the combiner +
+    crc32-term-bucket merge and broadcast once via ray.put (sharded
+    broadcast at web vocab); scoring + per-doc top-k is one vectorized
+    polars pass per batch (sort + rank-over-window, no per-doc Python).
+    Zero corpus shuffle."""
+    import zlib
+
+    import polars as pl
+
+    k = 3
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        pf = pl.from_arrow(t.select(["text"]))
+        agg = (
+            pf.select(
+                pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
+            )
+            .with_row_index("i")
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(pl.col("w").str.to_lowercase())
+            .unique(["i", "w"])
+            .group_by("w")
+            .agg(pl.len().alias("df"))
+            .rename({"w": "term"})
+        )
+        out = agg.to_arrow().cast(pa.schema([("term", pa.string()), ("df", pa.int64())]))
+        terms = out.column("term").to_pylist()
+        hb = np.fromiter(
+            (zlib.crc32(w.encode("utf-8")) % NUM_BUCKETS for w in terms),
+            dtype=np.int32,
+            count=len(terms),
+        )
+        return out.append_column("hb", pa.array(hb))
+
+    def df_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", sort=False, as_index=False)["df"].sum()
+
+    dfreq = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(df_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    df_ref = ray.put(pl.DataFrame({"term": dfreq["term"], "df": dfreq["df"]}))
+
+    def topk_batch(t: pa.Table) -> pa.Table:
+        vdf = ray.get(df_ref)
+        pf = pl.from_arrow(t.select(["doc_id", "text"]))
+        ranked = (
+            pf.select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w"),
+            )
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(pl.col("w").str.to_lowercase().alias("term"))
+            .group_by(["doc_id", "term"])
+            .agg(pl.len().alias("tf"))
+            .join(vdf, on="term", how="left")
+            .with_columns(((pl.col("tf") * 1_000_000) // pl.col("df")).alias("score"))
+            .sort(["doc_id", "score", "term"], descending=[False, True, False])
+            .with_columns(
+                pl.int_range(0, pl.len()).over("doc_id").alias("rank")
+            )
+            .filter(pl.col("rank") < k)
+            .with_columns((pl.col("rank") + 1).alias("rank"))
+            .select(["doc_id", "rank", "term", "score"])
+        )
+        return ranked.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("rank", pa.int64()),
+                    ("term", pa.string()),
+                    ("score", pa.int64()),
+                ]
+            )
+        )
+
+    return ds.map_batches(topk_batch, batch_format="pyarrow")
+
+
 def docs_fingerprint(sf_dir: str):
     """Rolling-hash fingerprint per document (SQL-verified: DuckDB
     reproduces the base-257 mod-2^61-1 fold via list_reduce)."""
@@ -1270,6 +1361,7 @@ ALL_QUERIES = {
     "docs_quality_filter": docs_quality_filter,
     "docs_source_quality": docs_source_quality,
     "docs_lm_buckets": docs_lm_buckets,
+    "docs_tfidf_terms": docs_tfidf_terms,
     "docs_length_filter": docs_length_filter,
     "docs_scrub": docs_scrub,
     "docs_langid": docs_langid,
