@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from neuscraper_ray.functions import polyhash
+    from neuscraper_ray.functions import ann as _ann
     from neuscraper_ray.stages import heuristics as _heur
 
     return {
@@ -59,6 +60,12 @@ def oracle_sql() -> dict[str, str]:
             + " AS fingerprint FROM documents"
         ),
         "docs_simhash_pairs": polyhash.sql_simhash_pairs("documents"),
+        "docs_dedup_apply": (
+            "WITH cl AS (" + polyhash.sql_minhash_clusters("documents") + ") "
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+            "LEFT JOIN cl ON d.doc_id = cl.doc_id "
+            "WHERE cl.doc_id IS NULL OR cl.cluster_id = d.doc_id"
+        ),
         "docs_minhash_clusters": polyhash.sql_minhash_clusters("documents"),
         "docs_stratified_sample": (
             "SELECT doc_id, lang FROM documents WHERE "
@@ -243,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
             "FROM lineitem"
         ),
+        "embeddings_project": _ann.sql_project("embeddings"),
         "ann_topk": (
             "SELECT e.vec_id FROM embeddings e WHERE e.vec_id != 0 "
             "ORDER BY list_cosine_similarity(e.embedding, "

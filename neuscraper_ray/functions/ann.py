@@ -331,3 +331,62 @@ def pairwise_cosine_pairs_bucketed(
         .groupby("pbucket")
         .map_groups(dedup, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- random projection
+
+
+def projection_signs(d: int, out_dim: int) -> np.ndarray:
+    """Deterministic (d, out_dim) +-1 sign matrix — an Achlioptas-style
+    sparse-free sign projection with the RNG replaced by the polyhash
+    Mersenne-61 cube hash, so DuckDB reproduces every sign exactly:
+    sign(j, k) = parity of ((h1^2 mod M) * h1 mod M), h1 = j*BASE_S + k
+    (j, k 1-indexed). The cube pushes the product past M so the
+    reduction actually mixes (a single product of small factors would
+    reduce to structured parity)."""
+    from neuscraper_ray.functions import polyhash as ph
+
+    j = np.arange(1, d + 1, dtype=np.uint64)[:, None]
+    k = np.arange(1, out_dim + 1, dtype=np.uint64)[None, :]
+    h1 = j * np.uint64(ph.BASE_S) + k
+    h = ph.mulmod(ph.mulmod(h1, h1), h1)
+    return np.where((h & np.uint64(1)) == 1, 1, -1).astype(np.int64)
+
+
+def project_batch(batch: pa.Table, out_dim: int = 8, col: str = "embedding") -> pa.Table:
+    """Fixed-point random projection: quantize each float32 component
+    to round-half-up micros (``floor(x * 1e6 + 0.5)`` on the exact
+    float64 promotion — the same IEEE ops DuckDB runs), then one int64
+    matmul against the deterministic sign matrix. Output long-format
+    (vec_id, k, comp) — integer-exact, zero shuffle."""
+    emb = _stack(batch.column(col), dtype=np.float32).astype(np.float64)
+    q = np.floor(emb * 1_000_000 + 0.5).astype(np.int64)
+    signs = projection_signs(q.shape[1], out_dim)
+    comp = q @ signs  # (n, out_dim) int64
+    n = comp.shape[0]
+    vec_ids = batch.column("vec_id").to_numpy()
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(vec_ids, out_dim)),
+            "k": pa.array(np.tile(np.arange(1, out_dim + 1, dtype=np.int64), n)),
+            "comp": pa.array(comp.reshape(-1)),
+        }
+    )
+
+
+def sql_project(table: str = "embeddings", out_dim: int = 8) -> str:
+    """DuckDB twin of ``project_batch`` (HUGEINT keeps the cube exact)."""
+    from neuscraper_ray.functions import polyhash as ph
+
+    B, M = ph.BASE_S, ph.MOD
+    h1 = f"(j * {B} + k)::HUGEINT"
+    sign = (
+        f"CASE WHEN ((({h1} * {h1}) % {M}) * {h1}) % {M} % 2 = 1 "
+        "THEN 1 ELSE -1 END"
+    )
+    return f"""
+SELECT vec_id, k::BIGINT AS k,
+  list_sum(list_transform(range(1, len(embedding) + 1),
+    j -> ({sign}) * floor(embedding[j]::DOUBLE * 1000000 + 0.5)::BIGINT))::BIGINT AS comp
+FROM {table}, (SELECT unnest(range(1, {out_dim + 1})) AS k)
+"""

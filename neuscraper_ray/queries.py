@@ -247,6 +247,49 @@ def docs_minhash_clusters(sf_dir: str):
     return near_dup_clusters(ds)
 
 
+def docs_dedup_apply(sf_dir: str):
+    """End-to-end near-dup DEDUPLICATION of the corpus: MinHash-LSH
+    clusters -> keep one representative per cluster (the min doc_id
+    label) plus every unclustered doc. The op a user actually runs to
+    emit a deduplicated corpus, composed from the cluster machinery
+    plus the co-partitioned ``hash_join`` (labels ride the join's one
+    keyed shuffle — the corpus is never collected, and the label side
+    stays distributed, so the shape holds when near-dups are 50% of a
+    web corpus). SQL-verified against the recursive-CTE closure
+    oracle."""
+    from neuscraper_ray.functions.dedup import near_dup_clusters
+    from neuscraper_ray.functions.joins import hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    labels = near_dup_clusters(_read(sf_dir, "documents", ["doc_id", "text"]))
+    if len(labels) == 0:
+        return ds
+    joined = hash_join(
+        ds,
+        ray.data.from_pandas(labels),
+        left_on="doc_id",
+        right_on="doc_id",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
+        ),
+        how="left",
+    )
+
+    def keep_reps(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cl = t.column("cluster_id")
+        mask = pc.or_kleene(pc.is_null(cl), pc.equal(cl, t.column("doc_id")))
+        return t.filter(pc.fill_null(mask, True)).select(
+            ["doc_id", "lang", "n_chars"]
+        )
+
+    return joined.map_batches(keep_reps, batch_format="pyarrow", batch_size=None)
+
+
 def docs_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs, Hamming <= 3 — SQL-verified (the 4-band
     blocking is exhaustive for distance <= 3 by pigeonhole, so exact
@@ -684,6 +727,17 @@ def docs_tfidf_terms(sf_dir: str):
         )
 
     return ds.map_batches(topk_batch, batch_format="pyarrow")
+
+
+def embeddings_project(sf_dir: str):
+    """Dimensionality reduction by deterministic +-1 sign projection
+    (Achlioptas-style, hash-derived signs) in fixed-point integer
+    arithmetic — SQL-verified bit-for-bit. Pure map stage, zero
+    shuffle; long-format (vec_id, k, comp) output."""
+    from neuscraper_ray.functions.ann import project_batch
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(project_batch, batch_format="pyarrow")
 
 
 def docs_fingerprint(sf_dir: str):
@@ -1362,10 +1416,12 @@ ALL_QUERIES = {
     "docs_source_quality": docs_source_quality,
     "docs_lm_buckets": docs_lm_buckets,
     "docs_tfidf_terms": docs_tfidf_terms,
+    "embeddings_project": embeddings_project,
     "docs_length_filter": docs_length_filter,
     "docs_scrub": docs_scrub,
     "docs_langid": docs_langid,
     "docs_minhash_clusters": docs_minhash_clusters,
+    "docs_dedup_apply": docs_dedup_apply,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_fingerprint": docs_fingerprint,
     "docs_jaccard_pairs": docs_jaccard_pairs,

@@ -442,3 +442,30 @@ def test_repetition_stats_semantics():
     # "spam spam" as a folded 2-gram occurs 3x, 8 codepoints
     assert rows["top2_cov"][5] == 3 * 8
     assert rows["dup3_chars"][5] == 2 * 12
+
+
+def test_projection_signs_mixed_and_exact():
+    """The hash-derived sign matrix must be well-mixed (no structured
+    parity — each output column near-balanced, columns not identical)
+    and the fixed-point projection exact and deterministic."""
+    from neuscraper_ray.functions.ann import project_batch, projection_signs
+
+    s = projection_signs(64, 8)
+    assert s.shape == (64, 8) and set(np.unique(s)) == {-1, 1}
+    for kcol in range(8):
+        frac = (s[:, kcol] == 1).mean()
+        assert 0.25 <= frac <= 0.75, (kcol, frac)
+    assert not all((s[:, 0] == s[:, kk]).all() for kk in range(1, 8))
+
+    rng = np.random.RandomState(7)
+    emb = rng.randn(5, 64).astype(np.float32)
+    t = pa.table({"vec_id": np.arange(5), "embedding": list(emb)})
+    out1, out2 = project_batch(t), project_batch(t)
+    assert out1.equals(out2)
+    # hand-check one component: quantize then signed sum
+    q = np.floor(emb[0].astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    want = int((q * projection_signs(64, 8)[:, 2]).sum())
+    got = out1.filter(
+        (np.asarray(out1["vec_id"]) == 0) & (np.asarray(out1["k"]) == 3)
+    ).column("comp")[0].as_py()
+    assert got == want
