@@ -56,6 +56,29 @@ def _bucket_i64(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     )
 
 
+def str_buckets(strs, num_buckets: int) -> np.ndarray:
+    """Process-stable bucket ids for STRING keys in one vectorized
+    polars pass (xxhash, fixed seed — deterministic across worker
+    processes, unlike ``builtins.hash``; no per-row Python loop,
+    unlike the fromiter-crc32 pattern this replaces). Accepts a list
+    or a pyarrow (Chunked)Array (zero-copy into polars).
+
+    In-flight partitioning only: bucket ids never persist, so
+    cross-library-version hash stability is not required — only
+    within-run determinism, which a seeded xxhash provides."""
+    import polars as pl
+
+    if isinstance(strs, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(strs)
+        n = len(s)
+    else:
+        n = len(strs)
+        s = pl.Series(strs, dtype=pl.String)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    return (s.hash(seed=0).to_numpy() % np.uint64(num_buckets)).astype(np.int32)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

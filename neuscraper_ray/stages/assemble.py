@@ -8,7 +8,8 @@ separator. In our DAG node text rides along with the prediction, so the
 join disappears and only the per-url grouping remains.
 
 Scale design: the groupby key is a salted hash bucket
-(``crc32(url) % num_buckets``), not the raw url — ``map_groups`` then
+(vectorized seeded xxhash of the url, ``joins.str_buckets``), not the
+raw url — ``map_groups`` then
 receives ONE large batch per bucket instead of one tiny batch per url,
 and the per-url work inside the bucket is a vectorized pandas
 sort + groupby-agg. This keeps the only mandatory all-to-all exchange
@@ -19,7 +20,6 @@ with ``extracted_text=""`` when nothing was kept.
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -27,12 +27,9 @@ import pyarrow as pa
 
 
 def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    urls = batch.column("url").to_pylist()
-    b = np.fromiter(
-        (zlib.crc32(u.encode("utf-8")) % num_buckets for u in urls),
-        dtype=np.int32,
-        count=len(urls),
-    )
+    from neuscraper_ray.functions.joins import str_buckets
+
+    b = str_buckets(batch.column("url"), num_buckets)
     return batch.append_column("bucket", pa.array(b, pa.int32()))
 
 

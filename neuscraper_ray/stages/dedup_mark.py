@@ -61,13 +61,12 @@ def canonical_dups(
         return out[out["n"] >= 2][["content_hash", "canonical_url"]]
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
-
         from neuscraper_ray.config import NUM_BUCKETS
+        from neuscraper_ray.functions.joins import str_buckets
 
         # deterministic across processes (never builtins.hash — that is
         # salted per interpreter and would split groups between workers)
-        df["b"] = [zlib.crc32(h.encode()) % NUM_BUCKETS for h in df["content_hash"]]
+        df["b"] = str_buckets(df["content_hash"].tolist(), NUM_BUCKETS)
         return df
 
     return (
@@ -135,18 +134,14 @@ def mark_duplicates(
     out_cols = list(docs.schema().names) + ["dup_of"]
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
+        from neuscraper_ray.functions.joins import str_buckets
 
         hs = [
             hashlib.md5(t.encode("utf-8")).hexdigest() if t else ""
             for t in df[column].tolist()
         ]
         df["content_hash"] = hs
-        df["hbucket"] = np.fromiter(
-            (zlib.crc32(h.encode()) % NUM_BUCKETS for h in hs),
-            dtype=np.int32,
-            count=len(hs),
-        )
+        df["hbucket"] = str_buckets(hs, NUM_BUCKETS)
         return df
 
     def mark_bucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -25,7 +25,6 @@ Reference quirks preserved:
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -208,13 +207,9 @@ def extract_score_batch(
         "err": pa.array([rows[i][5] == "#error" for i in idx], pa.bool_()),
     }
     if num_buckets is not None:
+        from neuscraper_ray.functions.joins import str_buckets
 
-        b = np.fromiter(
-            (zlib.crc32(u.encode("utf-8")) % num_buckets for u in kept_urls),
-            dtype=np.int32,
-            count=len(kept_urls),
-        )
-        cols["bucket"] = pa.array(b, pa.int32())
+        cols["bucket"] = pa.array(str_buckets(kept_urls, num_buckets), pa.int32())
     return pa.table(cols)
 
 
