@@ -446,59 +446,76 @@ def docs_length_quantiles_by_lang(sf_dir: str):
     return out
 
 
-def docs_top_terms(sf_dir: str):
-    """Corpus-wide term frequency, top 20 (count desc, term asc).
+def _term_counts(
+    ds: ray.data.Dataset,
+    *,
+    lower: bool = False,
+    distinct_per_doc: bool = False,
+    bucket_post=None,
+) -> pd.DataFrame:
+    """Distributed corpus term counts — the shared combiner +
+    term-bucket machinery under ``docs_top_terms`` (raw term
+    frequency), ``docs_lm_buckets`` (lowered vocab counts) and
+    ``docs_tfidf_terms`` (per-doc-distinct document frequency).
 
-    The combiner + per-bucket-top-k pattern end-to-end: polars
-    explode+group_by inside each batch collapses the word stream to
-    per-batch (term, n) partials; the shuffle is keyed on a crc32 TERM
-    BUCKET (never the raw term — per-group Python cost at real term
-    cardinality); each bucket merges vectorized and emits only its own
-    top-k candidates (a term's global count lives entirely in one
-    bucket, so the global top-k is a subset of the union of per-bucket
-    top-ks); the driver sees k x num_buckets rows. Words are maximal
-    runs of non-ASCII-whitespace (same class as the SQL oracle's regex
-    split — engine-independent, unlike locale split)."""
-    import zlib
-
+    Polars explode+group_by inside each batch collapses the word
+    stream to per-batch (term, n) partials; the shuffle is keyed on a
+    vectorized TERM BUCKET (never the raw term — per-group Python cost
+    at real term cardinality); each bucket merges vectorized (a term's
+    global count lives entirely in one bucket) and optionally applies
+    ``bucket_post`` (e.g. per-bucket top-k) so the driver sees bounded
+    rows. Words are maximal runs of non-ASCII-whitespace (the SQL
+    oracle's regex split — engine-independent, unlike locale split)."""
     import polars as pl
 
-    k = 20
-    ds = _read(sf_dir, "documents", ["text"])
+    from neuscraper_ray.functions.joins import str_buckets
 
     def partial(t: pa.Table) -> pa.Table:
-        pf = pl.from_arrow(t)
-        agg = (
+        pf = pl.from_arrow(t.select(["text"]))
+        w = (
             pf.select(
                 pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
             )
+            .with_row_index("i")
             .explode("w")
             .drop_nulls("w")
-            .group_by("w")
-            .agg(pl.len().alias("n"))
-            .rename({"w": "term"})
         )
+        if lower:
+            w = w.with_columns(pl.col("w").str.to_lowercase())
+        if distinct_per_doc:
+            w = w.unique(["i", "w"])
+        agg = w.group_by("w").agg(pl.len().alias("n")).rename({"w": "term"})
         out = agg.to_arrow().cast(
             pa.schema([("term", pa.string()), ("n", pa.int64())])
         )
-        terms = out.column("term").to_pylist()
-        hb = np.fromiter(
-            (zlib.crc32(w.encode("utf-8")) % NUM_BUCKETS for w in terms),
-            dtype=np.int32,
-            count=len(terms),
-        )
-        return out.append_column("hb", pa.array(hb))
+        hb = str_buckets(out.column("term"), NUM_BUCKETS)
+        return out.append_column("hb", pa.array(hb, pa.int32()))
 
-    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("term", sort=False, as_index=False)["n"].sum()
+        return bucket_post(g) if bucket_post is not None else g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def docs_top_terms(sf_dir: str):
+    """Corpus-wide term frequency, top 20 (count desc, term asc) — the
+    combiner + per-bucket-top-k pattern end-to-end (``_term_counts``):
+    the global top-k is a subset of the union of per-bucket top-ks, so
+    the driver sees k x num_buckets rows."""
+    k = 20
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
         return g.head(k)
 
-    cand = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("hb")
-        .map_groups(bucket_topk, batch_format="pandas")
-        .to_pandas()
+    cand = _term_counts(
+        _read(sf_dir, "documents", ["text"]), bucket_post=bucket_topk
     )
     cand = cand.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
     return cand.head(k).reset_index(drop=True)
@@ -521,46 +538,12 @@ def docs_lm_buckets(sf_dir: str):
     (4) one broadcast-threshold label pass. Scores are materialized
     once (2 int columns) and reused for both the histogram and the
     label pass."""
-    import zlib
-
     import polars as pl
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     # ---- pass 1: corpus vocab (lowered term -> count), distributed merge
-    def vocab_partial(t: pa.Table) -> pa.Table:
-        pf = pl.from_arrow(t.select(["text"]))
-        agg = (
-            pf.select(
-                pl.col("text")
-                .str.extract_all(r"[^ \t\n\x0b\x0c\r]+")
-                .alias("w")
-            )
-            .explode("w")
-            .drop_nulls("w")
-            .with_columns(pl.col("w").str.to_lowercase())
-            .group_by("w")
-            .agg(pl.len().alias("n"))
-            .rename({"w": "term"})
-        )
-        out = agg.to_arrow().cast(pa.schema([("term", pa.string()), ("n", pa.int64())]))
-        terms = out.column("term").to_pylist()
-        hb = np.fromiter(
-            (zlib.crc32(w.encode("utf-8")) % NUM_BUCKETS for w in terms),
-            dtype=np.int32,
-            count=len(terms),
-        )
-        return out.append_column("hb", pa.array(hb))
-
-    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("term", sort=False, as_index=False)["n"].sum()
-
-    vocab = (
-        ds.map_batches(vocab_partial, batch_format="pyarrow")
-        .groupby("hb")
-        .map_groups(merge_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    vocab = _term_counts(ds, lower=True)
     total_tokens = int(vocab["n"].sum())
     vocab_ref = ray.put(pl.DataFrame({"term": vocab["term"], "c": vocab["n"]}))
 
@@ -650,47 +633,13 @@ def docs_tfidf_terms(sf_dir: str):
     broadcast at web vocab); scoring + per-doc top-k is one vectorized
     polars pass per batch (sort + rank-over-window, no per-doc Python).
     Zero corpus shuffle."""
-    import zlib
-
     import polars as pl
 
     k = 3
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def df_partial(t: pa.Table) -> pa.Table:
-        pf = pl.from_arrow(t.select(["text"]))
-        agg = (
-            pf.select(
-                pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
-            )
-            .with_row_index("i")
-            .explode("w")
-            .drop_nulls("w")
-            .with_columns(pl.col("w").str.to_lowercase())
-            .unique(["i", "w"])
-            .group_by("w")
-            .agg(pl.len().alias("df"))
-            .rename({"w": "term"})
-        )
-        out = agg.to_arrow().cast(pa.schema([("term", pa.string()), ("df", pa.int64())]))
-        terms = out.column("term").to_pylist()
-        hb = np.fromiter(
-            (zlib.crc32(w.encode("utf-8")) % NUM_BUCKETS for w in terms),
-            dtype=np.int32,
-            count=len(terms),
-        )
-        return out.append_column("hb", pa.array(hb))
-
-    def df_merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("term", sort=False, as_index=False)["df"].sum()
-
-    dfreq = (
-        ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("hb")
-        .map_groups(df_merge, batch_format="pandas")
-        .to_pandas()
-    )
-    df_ref = ray.put(pl.DataFrame({"term": dfreq["term"], "df": dfreq["df"]}))
+    dfreq = _term_counts(ds, lower=True, distinct_per_doc=True)
+    df_ref = ray.put(pl.DataFrame({"term": dfreq["term"], "df": dfreq["n"]}))
 
     def topk_batch(t: pa.Table) -> pa.Table:
         vdf = ray.get(df_ref)
