@@ -91,6 +91,51 @@ def oracle_sql() -> dict[str, str]:
             "'[ \\t\\n\\x0b\\x0c\\r]+'), w -> w != '')) AS term FROM documents) "
             "GROUP BY term ORDER BY n DESC, term ASC LIMIT 20"
         ),
+        "docs_vocab_stats": (
+            "WITH tok AS (SELECT unnest(list_transform("
+            "list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\x0c\\r]+'), "
+            "w -> w != ''), w -> lower(w))) AS term FROM documents), "
+            "c AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term) "
+            "SELECT count(*)::BIGINT AS n_terms, "
+            "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax, "
+            "sum(n)::BIGINT AS total_tokens, "
+            "((count(*) * 1000000) // sum(n))::BIGINT AS ttr_ppm FROM c"
+        ),
+        "docs_bigram_pmi": (
+            "WITH d AS (SELECT doc_id, list_transform("
+            "list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\x0c\\r]+'), "
+            "w -> w != ''), w -> lower(w)) AS ws FROM documents), "
+            "bg AS (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) "
+            "AS pr FROM d WHERE len(ws) >= 2), "
+            "pc AS (SELECT pr[1] AS x, pr[2] AS y, count(*)::BIGINT AS n_xy "
+            "FROM bg GROUP BY 1, 2), "
+            "uc AS (SELECT term, count(*)::BIGINT AS n FROM ("
+            "SELECT unnest(ws) AS term FROM d) GROUP BY term) "
+            "SELECT pc.x, pc.y, pc.n_xy, ((pc.n_xy::HUGEINT * 1000000000) // "
+            "(ux.n::HUGEINT * uy.n::HUGEINT))::BIGINT AS score "
+            "FROM pc JOIN uc ux ON pc.x = ux.term "
+            "JOIN uc uy ON pc.y = uy.term WHERE pc.n_xy >= 5 "
+            "ORDER BY score DESC, x ASC, y ASC LIMIT 20"
+        ),
+        "docs_chunk_dedup": (
+            "WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, "
+            "'[ \\t\\n\\x0b\\x0c\\r]+'), w -> w != '') AS ws FROM documents), "
+            "ch AS (SELECT doc_id, unnest(list_transform("
+            "range(((len(ws) + 9) // 10)::BIGINT), "
+            "k -> struct_pack(ci := k, chunk := array_to_string("
+            "ws[(k*10+1)::BIGINT:((k+1)*10)::BIGINT], ' ')))) AS c FROM d), "
+            "fl AS (SELECT doc_id, c.ci AS chunk_idx, c.chunk AS chunk FROM ch), "
+            "rn AS (SELECT *, row_number() OVER (PARTITION BY chunk "
+            "ORDER BY doc_id, chunk_idx) AS rn FROM fl), "
+            "agg AS (SELECT doc_id, count(*)::BIGINT AS n_chunks, "
+            "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept, "
+            "coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' "
+            "ORDER BY chunk_idx), '') AS text_dedup FROM rn GROUP BY doc_id) "
+            "SELECT d2.doc_id, coalesce(a.n_chunks, 0)::BIGINT AS n_chunks, "
+            "coalesce(a.n_kept, 0)::BIGINT AS n_kept, "
+            "coalesce(a.text_dedup, '') AS text_dedup "
+            "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id"
+        ),
         "events_sample": (
             "SELECT event_id, event_type FROM events "
             "WHERE (" + polyhash.sql_fingerprint("event_id::VARCHAR") + ") % 20 = 0"

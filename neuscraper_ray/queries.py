@@ -521,6 +521,244 @@ def docs_top_terms(sf_dir: str):
     return cand.head(k).reset_index(drop=True)
 
 
+def docs_vocab_stats(sf_dir: str):
+    """Corpus vocabulary statistics — distinct-term count, hapax count
+    (terms seen once; the Heaps-law tail that dominates real web
+    vocab), total token count and type/token ratio in ppm. The
+    report-card numbers a curation run prints before training.
+
+    Scale shape: the ``_term_counts`` combiner + term-bucket merge,
+    with each bucket COLLAPSED to one (n_terms, n_hapax, total_tokens)
+    partial row inside the bucket task — the driver folds
+    num_buckets rows, never the vocabulary (a 10^9-term web vocab
+    never leaves the cluster)."""
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_terms": [len(g)],
+                "n_hapax": [int((g["n"] == 1).sum())],
+                "total_tokens": [int(g["n"].sum())],
+            }
+        )
+
+    parts = _term_counts(
+        _read(sf_dir, "documents", ["text"]), lower=True, bucket_post=bucket_stats
+    )
+    n_terms = int(parts["n_terms"].sum())
+    n_hapax = int(parts["n_hapax"].sum())
+    total = int(parts["total_tokens"].sum())
+    return pd.DataFrame(
+        {
+            "n_terms": pd.Series([n_terms], dtype="int64"),
+            "n_hapax": pd.Series([n_hapax], dtype="int64"),
+            "total_tokens": pd.Series([total], dtype="int64"),
+            "ttr_ppm": pd.Series([(n_terms * 1_000_000) // total], dtype="int64"),
+        }
+    )
+
+
+def docs_bigram_pmi(sf_dir: str):
+    """Top-20 adjacent-word bigrams by pointwise mutual information —
+    the collocation detector of a corpus report (and the phrase-mining
+    prep for tokenizer training). Integer-exact score
+    ``(n_xy * 1e9) // (n_x * n_y)`` is rank-equivalent to PMI for a
+    fixed corpus (the log and the constant N factor are monotone), so
+    DuckDB reproduces ranking and tie-break (score desc, x asc, y asc)
+    value-for-value; int64-safe while n_xy < 9.2e9 (the SQL twin uses
+    HUGEINT throughout).
+
+    Scale shape: pass 1 builds unigram counts with the
+    ``_term_counts`` machinery and broadcasts them once via ray.put
+    (sharded broadcast at web vocab, as in docs_lm_buckets); pass 2 is
+    a per-batch polars bigram combiner (explode + shift-over-doc, no
+    per-row Python), shuffled on a vectorized BIGRAM bucket; each
+    bucket merges, applies the global min-count filter (a bigram's
+    global count lives entirely in one bucket), scores against the
+    broadcast unigrams and emits only its own top-k. Driver sees
+    k x num_buckets rows."""
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import str_buckets
+
+    k = 20
+    min_count = 5
+    ds = _read(sf_dir, "documents", ["text"])
+
+    uni = _term_counts(ds, lower=True)
+    uni_ref = ray.put(uni.rename(columns={"term": "term", "n": "n_uni"}))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pf = pl.from_arrow(t.select(["text"]))
+        ex = (
+            pf.select(
+                pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
+            )
+            .with_row_index("i")
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(pl.col("w").str.to_lowercase())
+        )
+        bg = (
+            ex.with_columns(pl.col("w").shift(-1).over("i").alias("y"))
+            .drop_nulls("y")
+            .rename({"w": "x"})
+            .group_by(["x", "y"])
+            .agg(pl.len().alias("n_xy"))
+            .with_columns((pl.col("x") + "\x1f" + pl.col("y")).alias("bk"))
+        )
+        out = bg.to_arrow().cast(
+            pa.schema(
+                [
+                    ("x", pa.string()),
+                    ("y", pa.string()),
+                    ("n_xy", pa.int64()),
+                    ("bk", pa.string()),
+                ]
+            )
+        )
+        hb = str_buckets(out.column("bk"), NUM_BUCKETS)
+        return out.drop_columns(["bk"]).append_column(
+            "hb", pa.array(hb, pa.int32())
+        )
+
+    def bucket_score(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["x", "y"], sort=False, as_index=False)["n_xy"].sum()
+        g = g[g["n_xy"] >= min_count]
+        u = ray.get(uni_ref)
+        g = g.merge(u.rename(columns={"term": "x", "n_uni": "n_x"}), on="x")
+        g = g.merge(u.rename(columns={"term": "y", "n_uni": "n_y"}), on="y")
+        g["score"] = (g["n_xy"] * 1_000_000_000) // (g["n_x"] * g["n_y"])
+        g = g.sort_values(
+            ["score", "x", "y"], ascending=[False, True, True], kind="mergesort"
+        )
+        return g[["x", "y", "n_xy", "score"]].head(k)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(bucket_score, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["score", "x", "y"], ascending=[False, True, True], kind="mergesort"
+    )
+    return cand.head(k).reset_index(drop=True)
+
+
+def docs_chunk_dedup(sf_dir: str, chunk_words: int = 10):
+    """Chunk-level exact deduplication — the scalable approximation of
+    ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499, which dedups
+    repeated 50-token spans suffix-array-style): segment each document
+    into non-overlapping ``chunk_words``-word chunks, keep only the
+    FIRST occurrence of each distinct chunk corpus-wide (first =
+    lexicographic min (doc_id, chunk_idx) — deterministic under any
+    partitioning and task order), and reassemble the surviving text
+    per document. Emits (doc_id, n_chunks, n_kept, text_dedup).
+
+    Scale shape: two keyed exchanges, both on coarse vectorized
+    buckets, neither on a high-cardinality key. Stage 1 chunkifies per
+    batch (polars explode + int-range-over-doc + group_by join — no
+    per-row Python) and emits one sentinel row per doc so 0-chunk docs
+    survive to the output. Stage 2 buckets by CHUNK TEXT hash: every
+    copy of a chunk lands in one bucket, so the in-bucket
+    first-occurrence scan is globally correct; dedup keys on the exact
+    text (the hash only routes), so there is no collision caveat vs
+    the SQL oracle. Stage 3 buckets by doc id and reassembles kept
+    chunks in chunk order with a vectorized in-bucket join. No stage
+    holds the corpus; the driver holds nothing."""
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import _bucket_i64, str_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunkify(t: pa.Table) -> pa.Table:
+        pf = pl.from_arrow(t.select(["doc_id", "text"]))
+        ch = (
+            pf.select(
+                "doc_id",
+                pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w"),
+            )
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(
+                (pl.int_range(0, pl.len()).over("doc_id") // chunk_words).alias(
+                    "chunk_idx"
+                )
+            )
+            .group_by(["doc_id", "chunk_idx"], maintain_order=True)
+            .agg(pl.col("w").str.join(" ").alias("chunk"))
+        )
+        out = ch.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("chunk_idx", pa.int64()),
+                    ("chunk", pa.string()),
+                ]
+            )
+        )
+        hb = str_buckets(out.column("chunk"), NUM_BUCKETS)
+        out = out.append_column("hb", pa.array(hb, pa.int32()))
+        n = t.num_rows
+        sentinel = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "chunk_idx": pa.array(np.full(n, -1, dtype=np.int64)),
+                "chunk": pa.array([""] * n, pa.string()),
+                "hb": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
+        return pa.concat_tables([out, sentinel])
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        sent = df[df["chunk_idx"] < 0].copy()
+        real = df[df["chunk_idx"] >= 0].sort_values(
+            ["chunk", "doc_id", "chunk_idx"], kind="mergesort"
+        )
+        real = real.assign(keep=~real["chunk"].duplicated().to_numpy())
+        sent = sent.assign(keep=True)
+        out = pd.concat([real, sent], ignore_index=True)
+        out["db"] = _bucket_i64(out["doc_id"].to_numpy(), NUM_BUCKETS)
+        return out[["doc_id", "chunk_idx", "chunk", "keep", "db"]]
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        pf = pl.from_pandas(df)
+        real = pf.filter(pl.col("chunk_idx") >= 0)
+        stats = real.group_by("doc_id").agg(
+            pl.len().cast(pl.Int64).alias("n_chunks"),
+            pl.col("keep").sum().cast(pl.Int64).alias("n_kept"),
+        )
+        txt = (
+            real.filter(pl.col("keep"))
+            .sort(["doc_id", "chunk_idx"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(pl.col("chunk").str.join(" ").alias("text_dedup"))
+        )
+        out = (
+            pf.filter(pl.col("chunk_idx") < 0)
+            .select("doc_id")
+            .unique()
+            .join(stats, on="doc_id", how="left")
+            .join(txt, on="doc_id", how="left")
+            .with_columns(
+                pl.col("n_chunks").fill_null(0),
+                pl.col("n_kept").fill_null(0),
+                pl.col("text_dedup").fill_null(""),
+            )
+        )
+        return out.to_pandas()
+
+    return (
+        ds.map_batches(chunkify, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("db")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
 def docs_lm_buckets(sf_dir: str):
     """CCNet-style LM quality bucketing (Wenzek et al. 2020,
     arXiv:1911.00359), with the pretrained KenLM replaced by a
@@ -1379,6 +1617,9 @@ ALL_QUERIES = {
     "docs_token_quantiles": docs_token_quantiles,
     "docs_length_quantiles_by_lang": docs_length_quantiles_by_lang,
     "docs_top_terms": docs_top_terms,
+    "docs_vocab_stats": docs_vocab_stats,
+    "docs_bigram_pmi": docs_bigram_pmi,
+    "docs_chunk_dedup": docs_chunk_dedup,
     "events_type_agg": events_type_agg,
     "events_hourly": events_hourly,
     "events_user_sessions": events_user_sessions,
