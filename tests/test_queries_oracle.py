@@ -75,3 +75,48 @@ def test_all_queries_run_at_smallest_scale():
         if hasattr(res, "to_pandas"):
             res = res.to_pandas()
         assert res is not None and len(res.columns) > 0, name
+
+
+EDGE_QUERIES = ["docs_chunk_dedup", "docs_vocab_stats", "docs_top_terms"]
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_case_docs_match_oracle(name, tmp_path):
+    """Degenerate documents — empty text, one word, exactly one chunk,
+    exact duplicate docs, duplicated chunk inside ONE doc — through the
+    same Ray-vs-DuckDB comparison the driver performs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "",                                   # 0 words -> 0 chunks
+        "solo",                               # partial chunk
+        "a b c d e f g h i j",                # exactly one full chunk
+        "a b c d e f g h i j",                # exact duplicate doc
+        "a b c d e f g h i j k",              # full chunk + 1-word tail
+        " ".join(["x"] * 25),                 # repeated chunk within one doc
+        "solo",                               # duplicate of the 1-word doc
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["edge"] * len(texts)),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    result = entry_mod.queries()[name](str(tmp_path))
+    if hasattr(result, "to_pandas"):
+        result = result.to_pandas()
+    expected = c.execute(entry_mod.oracle_sql()[name]).df()
+    got, want = _normalize(result), _normalize(expected)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
