@@ -273,6 +273,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
+        "q3_shipping_priority": (
+            "SELECT o_orderkey, "
+            "sum(round(l_extendedprice * 100)::BIGINT * "
+            "(100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4, "
+            "o_orderdate, o_orderpriority "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1997-03-15' "
+            "AND l_shipdate > TIMESTAMP '1997-03-15' "
+            "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue_e4 DESC, o_orderdate ASC, o_orderkey ASC LIMIT 10"
+        ),
+        "q5_region_volume": (
+            "SELECT n_name, "
+            "sum(round(l_extendedprice * 100)::BIGINT * "
+            "(100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4 "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
+        ),
         "segment_order_value": (
             "SELECT c_mktsegment, count(*)::BIGINT AS n_orders, "
             "round(sum(o_totalprice), 2) AS total_value "

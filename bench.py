@@ -111,6 +111,8 @@ def _run_bench() -> dict:
         "docs_scrub",
         "docs_decontaminate",
         "docs_top_terms",
+        "docs_bigram_pmi",
+        "docs_chunk_dedup",
         "docs_quality_filter",
         "docs_repetition_stats",
         "docs_lm_buckets",

@@ -1218,6 +1218,242 @@ def order_totals_join(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def q5_region_volume(sf_dir: str):
+    """TPC-H-Q5-shape local supplier volume: a SIX-table join
+    (customer x orders x lineitem x supplier x nation x region) as two
+    co-partitioned big x big hash joins plus broadcast dimensions —
+    the multi-way join composition test of the engine. Revenue is
+    fixed-point ``round(price*100) * (100 - round(disc*100))`` (1e-4
+    dollars, exact int64 on both engines — prices carry 2 decimals so
+    the cents rounding is unambiguous).
+
+    Scale shape: region/nation/supplier broadcast once (tiny);
+    customer is pre-filtered to the region's nations BEFORE its join
+    (the filter commutes through the equijoin c_nationkey =
+    s_nationkey); orders is date-pruned AT THE READ; lineitem is
+    supplier-filtered and collapsed to per-batch (orderkey, s_nat,
+    rev) combiner partials before its join. Exactly TWO all-to-all
+    exchanges (orders x customer on custkey, lineitem x that on
+    orderkey), then a 25-group aggregate over combiner partials."""
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    nation = _read(sf_dir, "nation", None).to_pandas()
+    region = _read(sf_dir, "region", None).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    rkey = int(region.loc[region["r_name"] == Q5_REGION, "r_regionkey"].iloc[0])
+    region_nations = set(
+        nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    )
+    nation_name = dict(
+        zip(nation["n_nationkey"].astype(int), nation["n_name"])
+    )
+    supp_nation = {
+        int(s): int(n)
+        for s, n in zip(supp["s_suppkey"], supp["s_nationkey"])
+        if int(n) in region_nations
+    }
+    dims_ref = ray.put((region_nations, nation_name, supp_nation))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= pd.Timestamp(Q5_DATE_LO))
+        & (pc.field("o_orderdate") < pd.Timestamp(Q5_DATE_HI)),
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_prep(df: pd.DataFrame) -> pd.DataFrame:
+        nations, _, _ = ray.get(dims_ref)
+        df = df[df["c_nationkey"].isin(nations)].copy()
+        df["c_nationkey"] = df["c_nationkey"].astype(np.int64)
+        return df
+
+    cust_f = cust.map_batches(cust_prep, batch_format="pandas")
+
+    ordercust = hash_join(
+        orders,
+        cust_f,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_schema=pa.schema([("o_custkey", pa.int64()), ("o_orderkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, s2n = ray.get(dims_ref)
+        s_nat = df["l_suppkey"].map(s2n)
+        keep = s_nat.notna().to_numpy()
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy()[keep],
+                "s_nat": s_nat.to_numpy()[keep].astype(np.int64),
+                "rev_e4": (cents * (100 - dpct))[keep],
+            }
+        )
+        return out.groupby(["l_orderkey", "s_nat"], sort=False, as_index=False)[
+            "rev_e4"
+        ].sum()
+
+    li_partials = li.map_batches(li_prep, batch_format="pandas")
+
+    joined = hash_join(
+        li_partials,
+        ordercust,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("s_nat", pa.int64()), ("rev_e4", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("c_nationkey", pa.int64()),
+            ]
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        _, n2name, _ = ray.get(dims_ref)
+        keep = pc.equal(t["s_nat"], t["c_nationkey"])
+        t = t.filter(keep)
+        nats = t["s_nat"].to_numpy(zero_copy_only=False)
+        names = pd.Series(nats).map(n2name)
+        part = pd.DataFrame(
+            {"n_name": names, "rev": t["rev_e4"].to_numpy(zero_copy_only=False)}
+        ).groupby("n_name", sort=False, as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    agg = partials.groupby("n_name").aggregate(Sum("rev", alias_name="revenue_e4"))
+    df = agg.to_pandas()
+    df["revenue_e4"] = df["revenue_e4"].astype("int64")
+    df = df.sort_values(
+        ["revenue_e4", "n_name"], ascending=[False, True], kind="mergesort"
+    )
+    return df[["n_name", "revenue_e4"]].reset_index(drop=True)
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-03-15"
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shape shipping priority: top-10 undelivered orders by
+    revenue for one market segment. The high-cardinality-group
+    pitfall solved the engine's way: the per-order revenue sum is
+    finished INSIDE the join's own bucket (``right_prepare``), never
+    a ``Dataset.groupby`` over orderkeys, and the top-10 is a partial
+    per-block top-10 (global top-k is a subset of the union of
+    per-block top-ks for ANY partitioning) merged on the driver.
+    Revenue is the same fixed-point 1e-4-dollar int64 as Q5; the
+    (revenue desc, o_orderdate asc, o_orderkey asc) order is total,
+    so the top-10 set is unique and the SQL oracle reproduces it
+    row-for-row. One all-to-all exchange end-to-end."""
+    import pyarrow.compute as pc
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_keys = set(
+        cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"].astype(int)
+    )
+    seg_ref = ray.put(seg_keys)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < pd.Timestamp(Q3_DATE),
+    )
+
+    def orders_prep(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(seg_ref)
+        df = df[df["o_custkey"].isin(keys)]
+        return df[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    orders_f = orders.map_batches(orders_prep, batch_format="pandas")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > pd.Timestamp(Q3_DATE),
+    )
+
+    def li_combiner(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(),
+                "revenue_e4": cents * (100 - dpct),
+            }
+        )
+        return out.groupby("l_orderkey", sort=False, as_index=False)[
+            "revenue_e4"
+        ].sum()
+
+    li_partials = li.map_batches(li_combiner, batch_format="pandas")
+
+    joined = hash_join(
+        orders_f,
+        li_partials,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_e4", pa.int64())]
+        ),
+        right_prepare=lambda rf: rf.group_by("o_orderkey").agg(
+            pl.col("revenue_e4").sum()
+        ),
+    )
+
+    k = 10
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["revenue_e4", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        return df.head(k)
+
+    cand = joined.map_batches(
+        block_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["revenue_e4", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).head(k)
+    return cand[
+        ["o_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority"]
+    ].reset_index(drop=True)
+
+
 def events_distinct_users_hll(sf_dir: str):
     """Approximate distinct-user count via a mergeable HyperLogLog
     sketch (p=14, ~0.8% expected error): per-batch 16 KiB register
@@ -1633,6 +1869,8 @@ ALL_QUERIES = {
     "events_distinct_types": events_distinct_types,
     "events_top_users": events_top_users,
     "q1_pricing": q1_pricing,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_volume": q5_region_volume,
     "segment_order_value": segment_order_value,
     "customers_no_orders": customers_no_orders,
     "order_line_concat": order_line_concat,
