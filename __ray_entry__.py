@@ -252,6 +252,30 @@ def oracle_sql() -> dict[str, str]:
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
             "ON p.user_id = v.user_id AND p.ts >= v.ts"
         ),
+        "orders_rank_in_customer": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC)::BIGINT AS rnk "
+            "FROM orders) WHERE rnk <= 3"
+        ),
+        "events_type_dow_pivot": (
+            "SELECT event_type, "
+            + ", ".join(
+                f"count(*) FILTER (WHERE isodow(ts) - 1 = {d})::BIGINT AS dow_{d}"
+                for d in range(7)
+            )
+            + " FROM events GROUP BY event_type"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS order_count "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
+            "GROUP BY o_orderpriority"
+        ),
         "order_totals_join": (
             "SELECT o.o_orderkey, o.o_custkey, s.sum_qty FROM orders o JOIN ("
             "SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS sum_qty "

@@ -1668,6 +1668,171 @@ def lineitem_global_metrics(sf_dir: str):
     )
 
 
+# ----------------------------------------------- window / join extensions
+
+
+def orders_rank_in_customer(sf_dir: str):
+    """Windowed rank / top-N per group: each customer's 3 highest-value
+    orders with their rank (``row_number() OVER (PARTITION BY custkey
+    ORDER BY totalprice DESC, orderkey)``).
+
+    Scale shape: ranked-window queries do NOT need the whole partition
+    when only the top N survive — a key's global top-3 is a subset of
+    the union of batch-local top-3s, so each batch prunes to <= 3 rows
+    per key BEFORE the shuffle (the top-k combiner), then a custkey
+    bucket co-locates each key's survivors and one vectorized
+    sort + cumcount ranks every key in the bucket at once. The shuffle
+    moves O(3 x keys-per-batch x batches), never the orders table."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df[df.groupby("o_custkey", sort=False).cumcount() < 3].copy()
+        out["bucket"] = (out["o_custkey"] % NUM_BUCKETS).astype(np.int32)
+        return out
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df["rnk"] = (df.groupby("o_custkey", sort=False).cumcount() + 1).astype(
+            np.int64
+        )
+        return df.loc[
+            df["rnk"] <= 3, ["o_custkey", "o_orderkey", "o_totalprice", "rnk"]
+        ]
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+def events_type_dow_pivot(sf_dir: str):
+    """Pivot / unstack: events counted per (type, day-of-week), widened
+    to one ``dow_0..dow_6`` column per weekday (Monday = 0, matching
+    SQL ``isodow(ts) - 1``).
+
+    Scale shape: the long-form aggregate is a per-batch combiner plus a
+    tiny |types| x 7 groupby; the pivot itself runs on the driver over
+    that output-sized frame — the corpus is never reshaped."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["dow"] = df["ts"].dt.dayofweek.astype(np.int32)
+        return (
+            df.groupby(["event_type", "dow"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    types = sorted(agg["event_type"].unique())
+    out = pd.DataFrame({"event_type": types})
+    for d in range(7):
+        sel = agg[agg["dow"] == d].set_index("event_type")["cnt"]
+        out[f"dow_{d}"] = (
+            out["event_type"].map(sel).fillna(0).astype("int64")
+        )
+    return out
+
+
+Q4_START = "1997-01-01"
+Q4_END = "1997-04-01"
+Q4_LATE_DAYS = 30
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H-Q4-shape semi-join: orders in a quarter with at least one
+    "late" lineitem (shipped > 30 days after the order date), counted
+    per priority — SQL ``WHERE EXISTS (...)``.
+
+    Scale shape: the correlated EXISTS folds into a max-aggregate —
+    ``exists(l_shipdate > cutoff)  ==  max(l_shipdate) > cutoff`` — so
+    the semi-join becomes per-batch MAX partials on lineitem (combiner:
+    one row per orderkey per batch), ONE co-partitioned ``hash_join``
+    against the quarter's orders with the max finished in-bucket
+    (``right_prepare``), a vectorized lateness compare, and a tiny
+    priority count. The quarter filter is pushed into the parquet read;
+    lineitem is never shuffled raw."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    left_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    right_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("max_ship", pa.timestamp("us"))]
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=[f.name for f in left_schema],
+        filter=(pc.field("o_orderdate") >= pd.Timestamp(Q4_START))
+        & (pc.field("o_orderdate") < pd.Timestamp(Q4_END)),
+    )
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def partial_max(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by("l_orderkey")
+            .agg(pl.col("l_shipdate").max().alias("max_ship"))
+        )
+        return g.to_arrow().cast(right_schema)
+
+    def finish_max(rf):
+        return rf.group_by("o_orderkey").agg(pl.col("max_ship").max())
+
+    joined = hash_join(
+        orders,
+        line.map_batches(partial_max, batch_format="pyarrow"),
+        "o_orderkey",
+        "l_orderkey",
+        left_schema,
+        right_schema,
+        right_prepare=finish_max,
+    )
+
+    def late_priority_counts(df: pd.DataFrame) -> pd.DataFrame:
+        late = df["max_ship"] > (df["o_orderdate"] + pd.Timedelta(days=Q4_LATE_DAYS))
+        return (
+            df.loc[late]
+            .groupby("o_orderpriority", sort=False)
+            .size()
+            .reset_index(name="order_count")
+        )
+
+    agg = (
+        joined.map_batches(
+            late_priority_counts, batch_format="pandas", batch_size=None
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+        .to_pandas()
+    )
+    agg["order_count"] = agg["order_count"].astype("int64")
+    return agg[["o_orderpriority", "order_count"]]
+
+
 # ------------------------------------------------------------ embeddings
 
 
@@ -1864,6 +2029,9 @@ ALL_QUERIES = {
     "events_asof_join": events_asof_join,
     "events_distinct_users_hll": events_distinct_users_hll,
     "order_totals_join": order_totals_join,
+    "orders_rank_in_customer": orders_rank_in_customer,
+    "events_type_dow_pivot": events_type_dow_pivot,
+    "q4_order_priority": q4_order_priority,
     "embeddings_kmeans": embeddings_kmeans,
     "media_features": media_features,
     "events_distinct_types": events_distinct_types,
