@@ -276,6 +276,20 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
             "GROUP BY o_orderpriority"
         ),
+        "q13_customer_distribution": (
+            "SELECT n_orders, count(*)::BIGINT AS n_customers FROM ("
+            "SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS n_orders "
+            "FROM customer c LEFT JOIN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority <> '1-URGENT') o "
+            "ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey) "
+            "GROUP BY n_orders"
+        ),
+        "events_purchase_view_window": (
+            "SELECT p.event_id, (SELECT count(*) FROM events v "
+            "WHERE v.event_type = 'view' AND v.user_id = p.user_id "
+            "AND v.ts >= p.ts - INTERVAL 60 MINUTE AND v.ts < p.ts)::BIGINT "
+            "AS n_views_1h FROM events p WHERE p.event_type = 'purchase'"
+        ),
         "order_totals_join": (
             "SELECT o.o_orderkey, o.o_custkey, s.sum_qty FROM orders o JOIN ("
             "SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS sum_qty "

@@ -1833,6 +1833,122 @@ def q4_order_priority(sf_dir: str):
     return agg[["o_orderpriority", "order_count"]]
 
 
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H-Q13-shape LEFT OUTER join + two-level aggregate: customers
+    by how many (non-urgent) orders they placed, INCLUDING the
+    zero-order customers the inner join would drop.
+
+    Scale shape: per-batch order-count partials (combiner: one row per
+    custkey per batch), ONE co-partitioned ``hash_join(how="left")``
+    with the count finished in-bucket (``right_prepare``) — the outer
+    join's null rows materialize as typed nulls inside the bucket, so
+    zero-order customers cost nothing extra — then the distribution is
+    a tiny second groupby keyed on the count value (cardinality ~ max
+    orders per customer, corpus-size independent)."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    left_schema = pa.schema([("c_custkey", pa.int64())])
+    right_schema = pa.schema([("o_custkey", pa.int64()), ("cnt", pa.int64())])
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") != "1-URGENT",
+    )
+
+    def partial_cnt(t: pa.Table) -> pa.Table:
+        g = pl.from_arrow(t).group_by("o_custkey").agg(pl.len().alias("cnt"))
+        return g.to_arrow().cast(right_schema)
+
+    def finish_cnt(rf):
+        return rf.group_by("c_custkey").agg(pl.col("cnt").sum())
+
+    joined = hash_join(
+        cust,
+        orders.map_batches(partial_cnt, batch_format="pyarrow"),
+        "c_custkey",
+        "o_custkey",
+        left_schema,
+        right_schema,
+        how="left",
+        right_prepare=finish_cnt,
+    )
+
+    def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["cnt"].fillna(0).astype(np.int64)
+        return (
+            df.groupby("n_orders", sort=False).size().reset_index(name="n_customers")
+        )
+
+    agg = (
+        joined.map_batches(dist_partial, batch_format="pandas", batch_size=None)
+        .groupby("n_orders")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()
+    )
+    agg["n_customers"] = agg["n_customers"].astype("int64")
+    return agg[["n_orders", "n_customers"]]
+
+
+def events_purchase_view_window(sf_dir: str):
+    """Range (interval) join: per purchase event, the count of the same
+    user's view events in the hour strictly before the purchase —
+    ``v.ts >= p.ts - 1h AND v.ts < p.ts`` — zero-view purchases kept.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    both event roles co-partition on ``user_id % NUM_BUCKETS``, so every
+    (purchase, candidate-view) pair meets inside one bucket. In-bucket
+    the interval probe is TWO vectorized ``searchsorted`` calls over
+    composite ``user_rank * K + ts_rel`` keys with ``K > span + delta``:
+    a lower probe at ``ts - delta`` can dip at most ``delta`` below the
+    buyer's range start, still strictly above the previous user's range
+    end, so no per-user Python loop and no cross-user bleed (same
+    argument as ``events_rolling_count``)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["user_id"] % NUM_BUCKETS).astype(np.int32)
+        return df
+
+    def range_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype=np.int64),
+                    "n_views_1h": pd.Series(dtype=np.int64),
+                }
+            )
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        delta = np.int64(60 * 60 * 1_000_000)
+        urank = pd.factorize(df["user_id"].to_numpy())[0].astype(np.int64)
+        ts_rel = ts - ts.min()
+        K = ts_rel.max() + delta + 2
+        key = urank * K + ts_rel
+        etype = df["event_type"].to_numpy()
+        vm = etype == "view"
+        bm = etype == "purchase"
+        vkey, bkey = key[vm], key[bm]
+        lo = np.searchsorted(vkey, bkey - delta, side="left")
+        hi = np.searchsorted(vkey, bkey, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[bm],
+                "n_views_1h": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(range_bucket, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------ embeddings
 
 
@@ -2032,6 +2148,8 @@ ALL_QUERIES = {
     "orders_rank_in_customer": orders_rank_in_customer,
     "events_type_dow_pivot": events_type_dow_pivot,
     "q4_order_priority": q4_order_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "events_purchase_view_window": events_purchase_view_window,
     "embeddings_kmeans": embeddings_kmeans,
     "media_features": media_features,
     "events_distinct_types": events_distinct_types,
