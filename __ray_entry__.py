@@ -136,6 +136,25 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.text_dedup, '') AS text_dedup "
             "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id"
         ),
+        "docs_posting_lists": (
+            "WITH split AS (SELECT doc_id, list_filter(string_split_regex(text, "
+            "'[ \\t\\n\\x0b\\x0c\\r]+'), w -> w != '') AS ws FROM documents), "
+            "top AS (SELECT term, count(*)::BIGINT AS n FROM ("
+            "SELECT unnest(ws) AS term FROM split) GROUP BY term "
+            "ORDER BY n DESC, term ASC LIMIT 20), "
+            "tok AS (SELECT DISTINCT doc_id, term FROM ("
+            "SELECT doc_id, unnest(ws) AS term FROM split)) "
+            "SELECT t.term, count(*)::BIGINT AS df, "
+            "string_agg(t.doc_id::VARCHAR, ',' ORDER BY t.doc_id) AS doc_ids "
+            "FROM tok t JOIN top USING (term) GROUP BY t.term"
+        ),
+        "docs_length_deciles": (
+            "WITH b AS (SELECT quantile_disc(n_chars, "
+            "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM documents) "
+            "SELECT doc_id, n_chars, "
+            "len(list_filter((SELECT bs FROM b), x -> x <= n_chars))::BIGINT "
+            "AS decile FROM documents"
+        ),
         "events_sample": (
             "SELECT event_id, event_type FROM events "
             "WHERE (" + polyhash.sql_fingerprint("event_id::VARCHAR") + ") % 20 = 0"

@@ -1949,6 +1949,114 @@ def events_purchase_view_window(sf_dir: str):
     )
 
 
+def docs_posting_lists(sf_dir: str):
+    """Inverted-index build (the search-engine shape): for the corpus's
+    top-20 terms, the document frequency and the full sorted posting
+    list, serialized as a comma-joined doc-id string.
+
+    Scale shape: the term vocabulary is first reduced to the top-k via
+    the ``docs_top_terms`` combiner (k x num_buckets driver rows), the
+    k-term set broadcasts via ``ray.put``, and each batch emits only
+    its DISTINCT (term, doc_id) postings for those k terms — a
+    vectorized polars explode + semi-join, no per-row Python. One
+    term-bucket shuffle co-locates each term's postings; the in-bucket
+    assembly sorts once and joins doc ids per term. Output is k rows
+    regardless of corpus size; a full-vocabulary index would write
+    per-bucket parquet instead of returning (same topology)."""
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import str_buckets
+
+    top = docs_top_terms(sf_dir)
+    terms_ref = ray.put(set(top["term"].tolist()))
+
+    def postings(t: pa.Table) -> pa.Table:
+        keep = pl.Series("term", sorted(ray.get(terms_ref)), dtype=pl.String)
+        w = (
+            pl.from_arrow(t.select(["doc_id", "text"]))
+            .select(
+                "doc_id",
+                pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("term"),
+            )
+            .explode("term")
+            .drop_nulls("term")
+            .filter(pl.col("term").is_in(keep))
+            .unique(["doc_id", "term"])
+        )
+        out = w.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("term", pa.string())])
+        )
+        hb = str_buckets(out.column("term"), NUM_BUCKETS)
+        return out.append_column("hb", pa.array(hb, pa.int32()))
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "doc_id"], kind="mergesort")
+        g = df.groupby("term", sort=False)["doc_id"]
+        out = pd.DataFrame(
+            {
+                "df": g.size().astype("int64"),
+                "doc_ids": g.agg(lambda s: ",".join(map(str, s))),
+            }
+        ).reset_index()
+        return out[["term", "df", "doc_ids"]]
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(postings, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
+def docs_length_deciles(sf_dir: str):
+    """Global rank broadcast (the NTILE-by-value shape): every document
+    tagged with its corpus-wide length decile — ``decile = #{k in 1..9:
+    quantile_disc(k/10) <= n_chars}``.
+
+    Scale shape: the global distribution compresses to a (value, count)
+    histogram via the ``docs_token_quantiles`` combiner (corpus-size
+    independent), the 9 decile boundaries broadcast via ``ray.put``,
+    and the per-doc assignment is one vectorized ``searchsorted`` per
+    batch — a streaming second pass with zero shuffle, the same
+    two-pass topology as ``docs_lm_buckets``."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", sort=False).size().reset_index(name="cnt")
+        g["hb"] = (g["n_chars"] % 16).astype(np.int32)
+        return g
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_chars", sort=False, as_index=False)["cnt"].sum()
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    values = hist["n_chars"].to_numpy()
+    cum = np.cumsum(hist["cnt"].to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    bounds = []
+    for k in range(1, 10):
+        idx = max(0, math.ceil((k / 10) * n) - 1)  # DuckDB quantile_disc
+        bounds.append(int(values[np.searchsorted(cum, idx + 1)]))
+    bounds_ref = ray.put(np.asarray(bounds, dtype=np.int64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bounds_ref)
+        df["decile"] = np.searchsorted(
+            b, df["n_chars"].to_numpy(), side="right"
+        ).astype(np.int64)
+        return df[["doc_id", "n_chars", "decile"]]
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 # ------------------------------------------------------------ embeddings
 
 
@@ -2150,6 +2258,8 @@ ALL_QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q13_customer_distribution": q13_customer_distribution,
     "events_purchase_view_window": events_purchase_view_window,
+    "docs_posting_lists": docs_posting_lists,
+    "docs_length_deciles": docs_length_deciles,
     "embeddings_kmeans": embeddings_kmeans,
     "media_features": media_features,
     "events_distinct_types": events_distinct_types,
