@@ -117,7 +117,11 @@ def _run_bench() -> dict:
         "docs_repetition_stats",
         "docs_lm_buckets",
         "events_asof_join",
+        "events_purchase_view_window",
         "order_totals_join",
+        "orders_rank_in_customer",
+        "q13_customer_distribution",
+        "docs_posting_lists",
         "ann_topk",
         "embedding_near_pairs",
     ]
