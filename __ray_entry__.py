@@ -295,6 +295,21 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
             "GROUP BY o_orderpriority"
         ),
+        "q14_promo_revenue": (
+            "WITH l AS (SELECT l_partkey, round(l_extendedprice * 100)::BIGINT * "
+            "(100 - round(l_discount * 100)::BIGINT) AS rev FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-06-01' "
+            "AND l_shipdate < TIMESTAMP '1997-07-01') "
+            "SELECT sum(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0 END)::BIGINT "
+            "AS promo_revenue_e4, sum(rev)::BIGINT AS total_revenue_e4, "
+            "((sum(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0 END)::HUGEINT "
+            "* 1000000) // sum(rev)::HUGEINT)::BIGINT AS promo_share_ppm "
+            "FROM l JOIN part ON l_partkey = p_partkey"
+        ),
+        "events_distinct_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
         "q13_customer_distribution": (
             "SELECT n_orders, count(*)::BIGINT AS n_customers FROM ("
             "SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS n_orders "
@@ -407,4 +422,8 @@ def oracle_sql() -> dict[str, str]:
         # - pages_annotation_offsets: M15 annotation export (HTML parse
         #   + renderer offsets) — non-SQL; semantics pinned in
         #   tests/test_annotation_export.py.
+        # - docs_cms_heavy_hitters: count-min sketch — approximate by
+        #   construction (bounded overestimate); the CM bound and the
+        #   exact counts are pinned in tests/test_functions.py, and the
+        #   query emits n_exact next to n_cms so quality is visible.
     }

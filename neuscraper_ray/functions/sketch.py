@@ -96,3 +96,82 @@ def distinct_count_hll(
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
     merged = hll_merge([np.asarray(r["regs"], dtype=np.uint8) for r in rows])
     return hll_estimate(merged), merged
+
+
+# ------------------------------------------------- count-min sketch
+
+CMS_WIDTH = 8192
+CMS_DEPTH = 4
+
+
+def _cms_rows(terms, width: int, depth: int) -> np.ndarray:
+    """(depth, n_terms) column indexes — one vectorized seeded-xxhash
+    pass per depth row (polars ``Series.hash``; never ``builtins.hash``,
+    whose per-process salt would break partial mergeability)."""
+    import polars as pl
+
+    if not isinstance(terms, pl.Series):
+        terms = pl.Series(terms, dtype=pl.String)
+    return np.stack(
+        [
+            (terms.hash(seed=d).to_numpy() % np.uint64(width)).astype(np.int64)
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_term_counts(
+    ds: ray.data.Dataset,
+    column: str = "text",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> np.ndarray:
+    """Merged (depth, width) int64 count-min sketch of whitespace-term
+    frequencies over a text column.
+
+    The second mergeable sketch next to HLL: per-batch the word stream
+    collapses to (term, n) partials (polars explode + group_by), those
+    scatter-add into a fixed ``depth x width`` counter matrix, and ONE
+    ~256 KiB row per batch reaches the driver, merged by elementwise
+    sum — the vocabulary never leaves the tasks, so the frequency-table
+    cost is corpus-size independent (vs the exact ``_term_counts``
+    shuffle). Point estimates are upper bounds with overestimate
+    <= 2 * total_tokens / width at probability >= 1 - 2^-depth
+    (Cormode-Muthukrishnan); the bound is pinned in tests."""
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        pf = pl.from_arrow(t.select([column]))
+        w = (
+            pf.select(
+                pl.col(column).str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
+            )
+            .explode("w")
+            .drop_nulls("w")
+        )
+        agg = w.group_by("w").agg(pl.len().alias("n"))
+        cnt = agg["n"].to_numpy().astype(np.int64)
+        mat = np.zeros((depth, width), dtype=np.int64)
+        if len(cnt):
+            rows = _cms_rows(agg["w"], width, depth)
+            for d in range(depth):
+                np.add.at(mat[d], rows[d], cnt)
+        return pa.table({"regs": pa.array([mat.ravel()], pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out = np.zeros(depth * width, dtype=np.int64)
+    for r in rows:
+        out += np.asarray(r["regs"], dtype=np.int64)
+    return out.reshape(depth, width)
+
+
+def cms_estimate(mat: np.ndarray, terms: list[str]) -> np.ndarray:
+    """Point estimates (min over depth rows) for each term."""
+    depth, width = mat.shape
+    if not terms:
+        return np.empty(0, dtype=np.int64)
+    rows = _cms_rows(terms, width, depth)
+    est = mat[0][rows[0]]
+    for d in range(1, depth):
+        est = np.minimum(est, mat[d][rows[d]])
+    return est.astype(np.int64)

@@ -2057,6 +2057,158 @@ def docs_length_deciles(sf_dir: str):
     return ds.map_batches(assign, batch_format="pandas")
 
 
+Q14_START = "1997-06-01"
+Q14_END = "1997-07-01"
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shape promo revenue share: of one ship-month's revenue,
+    the fraction from ECONOMY-type parts, in exact ppm (fixed-point
+    integer math — no float ROUND ties, per the oracle contract).
+
+    Scale shape: lineitem is month-filtered AT THE READ (row-group
+    pruning) and collapsed to per-partkey revenue partials per batch
+    (combiner, ``left_prepare`` finishes the sum in-bucket); ONE
+    co-partitioned ``hash_join`` attaches ``p_type`` — the part
+    dimension rides the same single exchange instead of a broadcast
+    (at web scale the part side is itself sharded); the share is a
+    two-cell global sum of output-sized join rows."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    left_schema = pa.schema([("l_partkey", pa.int64()), ("rev_e4", pa.int64())])
+    right_schema = pa.schema([("p_partkey", pa.int64()), ("p_type", pa.string())])
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= pd.Timestamp(Q14_START))
+        & (pc.field("l_shipdate") < pd.Timestamp(Q14_END)),
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        ext = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        g = (
+            pl.DataFrame(
+                {
+                    "l_partkey": t["l_partkey"].to_numpy(),
+                    "rev_e4": ext * (100 - disc),
+                }
+            )
+            .group_by("l_partkey")
+            .agg(pl.col("rev_e4").sum())
+        )
+        return g.to_arrow().cast(left_schema)
+
+    def finish_rev(lf):
+        return lf.group_by("l_partkey").agg(pl.col("rev_e4").sum())
+
+    joined = hash_join(
+        line.map_batches(partial_rev, batch_format="pyarrow"),
+        part,
+        "l_partkey",
+        "p_partkey",
+        left_schema,
+        right_schema,
+        left_prepare=finish_rev,
+    )
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        promo = int(df.loc[df["p_type"] == "ECONOMY", "rev_e4"].sum())
+        return pd.DataFrame(
+            {
+                "promo_e4": np.asarray([promo], dtype=np.int64),
+                "total_e4": np.asarray([int(df["rev_e4"].sum())], dtype=np.int64),
+            }
+        )
+
+    row = joined.map_batches(sums, batch_format="pandas", batch_size=None).aggregate(
+        Sum("promo_e4", alias_name="promo_e4"),
+        Sum("total_e4", alias_name="total_e4"),
+    )
+    promo, total = int(row["promo_e4"]), int(row["total_e4"])
+    return pd.DataFrame(
+        [
+            {
+                "promo_revenue_e4": promo,
+                "total_revenue_e4": total,
+                "promo_share_ppm": (promo * 1_000_000) // total if total else 0,
+            }
+        ]
+    )
+
+
+def events_distinct_users_by_type(sf_dir: str):
+    """Distributed EXACT grouped distinct count (``count(DISTINCT
+    user_id)`` per event type) — the exact counterpart of the HLL
+    sketch, for when the answer must be a number, not an estimate.
+
+    Scale shape: each batch first collapses to its distinct (type,
+    user) pairs (combiner — repeat-heavy streams shrink immediately),
+    pairs co-partition on a splitmix64 USER bucket so a pair's every
+    occurrence lands in one bucket, the in-bucket distinct is therefore
+    global, and only per-(bucket, type) count partials reach the final
+    tiny groupby. The user column never leaves the cluster un-deduped;
+    never ``Dataset.unique`` (one Ray group per distinct value)."""
+    from neuscraper_ray.functions.sketch import splitmix64
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["event_type", "user_id"]).copy()
+        u["bucket"] = (
+            splitmix64(u["user_id"].to_numpy().astype(np.uint64))
+            % np.uint64(NUM_BUCKETS)
+        ).astype(np.int32)
+        return u
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["event_type", "user_id"])
+        return (
+            u.groupby("event_type", sort=False).size().reset_index(name="n_users")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    agg["n_users"] = agg["n_users"].astype("int64")
+    return agg[["event_type", "n_users"]]
+
+
+def docs_cms_heavy_hitters(sf_dir: str):
+    """Count-min-sketch frequency estimates for the corpus's top-20
+    terms — the CMS complement to the exact ``docs_top_terms`` path:
+    the sketch costs one ~256 KiB mergeable row per batch instead of a
+    term shuffle, at the price of bounded overestimation.
+
+    Rows-only by construction (approximate; no SQL value oracle): the
+    CMS overestimate bound and exactness-at-this-scale are pinned in
+    tests/test_functions.py. Emits the exact count next to the estimate
+    so the sketch quality is self-documenting (the ANN-recall
+    pattern)."""
+    from neuscraper_ray.functions.sketch import cms_estimate, cms_term_counts
+
+    top = docs_top_terms(sf_dir)
+    mat = cms_term_counts(_read(sf_dir, "documents", ["text"]))
+    est = cms_estimate(mat, top["term"].tolist())
+    return pd.DataFrame(
+        {
+            "term": top["term"],
+            "n_exact": top["n"].astype("int64"),
+            "n_cms": est,
+        }
+    )
+
+
 # ------------------------------------------------------------ embeddings
 
 
@@ -2260,6 +2412,9 @@ ALL_QUERIES = {
     "events_purchase_view_window": events_purchase_view_window,
     "docs_posting_lists": docs_posting_lists,
     "docs_length_deciles": docs_length_deciles,
+    "q14_promo_revenue": q14_promo_revenue,
+    "events_distinct_users_by_type": events_distinct_users_by_type,
+    "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
     "embeddings_kmeans": embeddings_kmeans,
     "media_features": media_features,
     "events_distinct_types": events_distinct_types,

@@ -263,6 +263,39 @@ def test_hll_estimate_error_bound():
         assert abs(est - n) / n < 0.02, (n, est)
 
 
+def test_cms_merge_and_bound():
+    """CMS partial-merge correctness + the Cormode-Muthukrishnan
+    overestimate bound on the real corpus: estimates never undercount,
+    and overshoot <= 2 * total_tokens / width for the probed terms."""
+    import duckdb
+    import ray.data
+
+    from neuscraper_ray.functions.sketch import (
+        CMS_WIDTH,
+        cms_estimate,
+        cms_term_counts,
+    )
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    mat = cms_term_counts(ds)
+    exact = duckdb.sql(
+        "SELECT term, count(*)::BIGINT AS n FROM (SELECT unnest(list_filter("
+        "string_split_regex(text, '[ \\t\\n\\x0b\\x0c\\r]+'), w -> w != '')) "
+        f"AS term FROM read_parquet('{SF_DIR}/documents.parquet')) "
+        "GROUP BY term ORDER BY n DESC LIMIT 50"
+    ).df()
+    total = duckdb.sql(
+        "SELECT count(*) FROM (SELECT unnest(list_filter(string_split_regex("
+        "text, '[ \\t\\n\\x0b\\x0c\\r]+'), w -> w != '')) AS term "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet'))"
+    ).fetchone()[0]
+    est = cms_estimate(mat, exact["term"].tolist())
+    assert (est >= exact["n"].to_numpy()).all()
+    assert (est - exact["n"].to_numpy() <= 2 * total / CMS_WIDTH + 1).all()
+    # depth-row totals: every row of the matrix sums to total_tokens
+    assert (mat.sum(axis=1) == total).all()
+
+
 def test_events_distinct_users_hll_close_to_exact():
     import duckdb
 
