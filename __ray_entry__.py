@@ -72,6 +72,12 @@ def oracle_sql() -> dict[str, str]:
             "(" + polyhash.sql_fingerprint("doc_id::VARCHAR") + ") "
             "% (CASE WHEN lang = 'en' THEN 2 ELSE 10 END) = 0"
         ),
+        "docs_sample_per_lang": (
+            "SELECT lang, doc_id, rn FROM ("
+            "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+            "ORDER BY (" + polyhash.sql_fingerprint("doc_id::VARCHAR") + "), "
+            "doc_id)::BIGINT AS rn FROM documents) WHERE rn <= 5"
+        ),
         "docs_decontaminate": polyhash.sql_decontaminate("documents"),
         "docs_jaccard_pairs": polyhash.sql_jaccard_pairs("documents"),
         "docs_token_quantiles": (

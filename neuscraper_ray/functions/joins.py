@@ -91,8 +91,10 @@ def hash_join(
     right_prepare=None,
     left_prepare=None,
 ) -> ray.data.Dataset:
-    """Co-partitioned hash join on int64 keys -> Dataset with the key
-    (named ``left_on``) + both sides' payload columns.
+    """Co-partitioned hash join on int64 OR string keys -> Dataset with
+    the key (named ``left_on``) + both sides' payload columns. String
+    keys bucket via the vectorized seeded-xxhash ``str_buckets`` pass
+    (zero-copy Arrow -> polars), int keys via splitmix64.
 
     Schemas are passed explicitly (calling ``.schema()`` on a lazy
     upstream would execute it twice). Non-key column names must be
@@ -114,6 +116,7 @@ def hash_join(
     if overlap:
         raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
     key_type = left_schema.field(left_on).type
+    str_key = pa.types.is_string(key_type) or pa.types.is_large_string(key_type)
     unified = pa.schema(
         [pa.field(left_on, key_type)]
         + l_payload
@@ -126,7 +129,9 @@ def hash_join(
     def widen(side: int, key_col: str):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
-            keys = t.column(key_col).to_numpy()
+            keys = (
+                t.column(key_col) if str_key else t.column(key_col).to_numpy()
+            )
             cols = {left_on: t.column(key_col)}
             for f in l_payload + r_payload:
                 cols[f.name] = (
@@ -135,7 +140,11 @@ def hash_join(
                     else pa.nulls(n, f.type)
                 )
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-            cols["__bucket"] = pa.array(_bucket_i64(keys, num_buckets))
+            cols["__bucket"] = pa.array(
+                str_buckets(keys, num_buckets)
+                if str_key
+                else _bucket_i64(keys, num_buckets)
+            )
             return pa.table(cols, schema=unified)
 
         return fn

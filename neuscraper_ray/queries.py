@@ -2209,6 +2209,44 @@ def docs_cms_heavy_hitters(sf_dir: str):
     )
 
 
+def docs_sample_per_lang(sf_dir: str):
+    """Take-N-per-key (grouped reservoir-style sample, deterministic):
+    5 documents per language, chosen by smallest doc-id fingerprint —
+    rerun-stable, engine-independent (the SQL oracle reproduces the
+    exact set via the shared polyhash contract), and unbiased because
+    the fingerprint is uniform pseudo-random in the id.
+
+    Scale shape: the same top-k combiner prune as
+    ``orders_rank_in_customer`` — each batch keeps at most N rows per
+    key BEFORE the shuffle (a key's global N-smallest is a subset of
+    the union of batch-local N-smallest), one lang-bucket exchange,
+    in-bucket vectorized sort + cumcount. The corpus never shuffles."""
+    from neuscraper_ray.functions.joins import str_buckets
+    from neuscraper_ray.functions.polyhash import int_fingerprints
+
+    N = 5
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            fp=int_fingerprints(df["doc_id"].to_numpy()).astype(np.int64)
+        ).sort_values(["lang", "fp", "doc_id"], kind="mergesort")
+        out = df[df.groupby("lang", sort=False).cumcount() < N].copy()
+        out["bucket"] = str_buckets(out["lang"].tolist(), NUM_BUCKETS)
+        return out
+
+    def take_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "fp", "doc_id"], kind="mergesort")
+        df["rn"] = (df.groupby("lang", sort=False).cumcount() + 1).astype(np.int64)
+        return df.loc[df["rn"] <= N, ["lang", "doc_id", "rn"]]
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(take_bucket, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------ embeddings
 
 
@@ -2415,6 +2453,7 @@ ALL_QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
+    "docs_sample_per_lang": docs_sample_per_lang,
     "embeddings_kmeans": embeddings_kmeans,
     "media_features": media_features,
     "events_distinct_types": events_distinct_types,

@@ -339,6 +339,41 @@ def test_hash_join_inner_and_left():
     assert leftj["b"].isna().sum() == 100
 
 
+def test_hash_join_string_keys():
+    """String-keyed co-partitioned join (str_buckets path): inner and
+    left results must match a pandas merge exactly."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    lrows = [
+        {"k": f"url-{i % 37}", "a": i} for i in range(150)
+    ]
+    rrows = [{"kk": f"url-{i}", "b": 1000 + i} for i in range(0, 37, 2)]
+    left = ray.data.from_items(lrows).repartition(5)
+    right = ray.data.from_items(rrows).repartition(2)
+    ls = pa.schema([("k", pa.string()), ("a", pa.int64())])
+    rs = pa.schema([("kk", pa.string()), ("b", pa.int64())])
+    for how in ("inner", "left"):
+        got = (
+            hash_join(left, right, "k", "kk", ls, rs, how=how, num_buckets=8)
+            .to_pandas()
+            .sort_values(["k", "a"])
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.DataFrame(lrows)
+            .merge(pd.DataFrame(rrows), left_on="k", right_on="kk", how=how)
+            .drop(columns="kk")
+            .sort_values(["k", "a"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "a", "b"]], want[["k", "a", "b"]], check_dtype=False
+        )
+
+
 def test_kmeans_deterministic_and_converging():
     import numpy as np
 
