@@ -189,6 +189,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_repetition_stats": polyhash.sql_repetition_stats("documents"),
         "docs_quality_filter": _heur.sql_quality_filter("documents"),
+        "corpus_report": (
+            "WITH qf AS (" + _heur.sql_quality_filter("documents") + "), "
+            "t AS (SELECT count(*)::BIGINT AS n_docs, "
+            "count(DISTINCT lang)::BIGINT AS n_langs, "
+            "sum(len(str_split(text, ' ')))::BIGINT AS total_tokens, "
+            "count(DISTINCT md5(text))::BIGINT AS n_distinct FROM documents), "
+            "k AS (SELECT sum(keep)::BIGINT AS n_kept FROM qf) "
+            "SELECT n_docs, n_langs, total_tokens, "
+            "((n_kept * 10000) // n_docs)::BIGINT AS keep_rate_e4, "
+            "(((n_docs - n_distinct) * 1000000) // n_docs)::BIGINT AS dup_rate_ppm "
+            "FROM t, k"
+        ),
         "docs_source_quality": (
             "WITH qf AS (" + _heur.sql_quality_filter("documents") + ") "
             "SELECT d.source, count(*)::BIGINT AS n_docs, "

@@ -2247,6 +2247,68 @@ def docs_sample_per_lang(sf_dir: str):
     )
 
 
+def corpus_report(sf_dir: str):
+    """One-row corpus health report — the numbers a curation run prints
+    before anything trains: doc count, distinct languages, total
+    whitespace tokens, quality-filter keep rate (e4 fixed-point), and
+    exact-duplicate rate (ppm). Pure composition of the engine's own
+    pure batch functions, so every cell matches the SQL oracle exactly.
+
+    Scale shape: a FUSED multi-aggregate pass computes doc/keep/token
+    partials plus the per-batch language set in one read (one tiny row
+    per batch, zero shuffle — the read is paid once, not per metric),
+    and the distinct-text count reuses ``exact_dedup``'s md5-bucketed
+    exchange followed by a distributed ``count()`` — the text itself
+    never reaches the driver."""
+    from neuscraper_ray.functions.dedup import exact_dedup
+    from neuscraper_ray.functions.textstats import token_count_batch
+    from neuscraper_ray.stages.heuristics import quality_filter_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nt = token_count_batch(t).column("n_tokens").to_numpy()
+        keep = quality_filter_batch(t).column("keep").to_numpy()
+        langs = ",".join(sorted(set(t.column("lang").to_pylist())))
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "n_kept": pa.array([int(keep.sum())], pa.int64()),
+                "total_tokens": pa.array([int(nt.sum())], pa.int64()),
+                "langs": pa.array([langs], pa.string()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_kept = sum(r["n_kept"] for r in rows)
+    total_tokens = sum(r["total_tokens"] for r in rows)
+    langs: set[str] = set()
+    for r in rows:
+        if r["langs"]:
+            langs.update(r["langs"].split(","))
+
+    n_distinct = exact_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+    ).count()
+
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": n_docs,
+                "n_langs": len(langs),
+                "total_tokens": total_tokens,
+                "keep_rate_e4": (n_kept * 10_000) // n_docs if n_docs else 0,
+                "dup_rate_ppm": ((n_docs - n_distinct) * 1_000_000) // n_docs
+                if n_docs
+                else 0,
+            }
+        ]
+    )
+
+
 # ------------------------------------------------------------ embeddings
 
 
@@ -2454,6 +2516,7 @@ ALL_QUERIES = {
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
     "docs_sample_per_lang": docs_sample_per_lang,
+    "corpus_report": corpus_report,
     "embeddings_kmeans": embeddings_kmeans,
     "media_features": media_features,
     "events_distinct_types": events_distinct_types,
