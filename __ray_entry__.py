@@ -176,6 +176,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies "
             "FROM documents GROUP BY text"
         ),
+        "docs_lang_source_rollup": (
+            "SELECT coalesce(lang, '<all>') AS lang, "
+            "coalesce(source, '<all>') AS source, "
+            "count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars "
+            "FROM documents "
+            "GROUP BY GROUPING SETS ((lang, source), (lang), ())"
+        ),
         "docs_lang_stats": (
             "SELECT lang, count(*)::BIGINT AS n_docs, "
             "((sum(n_chars) * 100) // count(*))::BIGINT AS avg_chars_e2 "

@@ -2309,6 +2309,47 @@ def corpus_report(sf_dir: str):
     )
 
 
+def docs_lang_source_rollup(sf_dir: str):
+    """ROLLUP / GROUPING SETS: doc counts and char sums at three grains
+    in one result — (lang, source), (lang), and grand total — with
+    ``<all>`` sentinels for the rolled-up columns.
+
+    Scale shape: only the FINEST grain is computed distributed (the
+    standard combiner + small groupby); the coarser grains derive from
+    it on the driver because a rollup is a sum of its children and the
+    finest aggregate is output-sized (|langs| x |sources|). One
+    exchange total — never one pass per grain over the corpus."""
+    agg = _preagg_sum(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        ["lang", "source"],
+        ["n_chars"],
+        count_alias="n_docs",
+    ).to_pandas()
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    agg["sum_chars"] = agg["n_chars"].astype("int64")
+    fine = agg[["lang", "source", "n_docs", "sum_chars"]]
+
+    by_lang = (
+        fine.groupby("lang", as_index=False)[["n_docs", "sum_chars"]]
+        .sum()
+        .assign(source="<all>")
+    )
+    total = pd.DataFrame(
+        [
+            {
+                "lang": "<all>",
+                "source": "<all>",
+                "n_docs": fine["n_docs"].sum(),
+                "sum_chars": fine["sum_chars"].sum(),
+            }
+        ]
+    )
+    out = pd.concat([fine, by_lang, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out[["lang", "source", "n_docs", "sum_chars"]]
+
+
 # ------------------------------------------------------------ embeddings
 
 
@@ -2517,6 +2558,7 @@ ALL_QUERIES = {
     "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
     "docs_sample_per_lang": docs_sample_per_lang,
     "corpus_report": corpus_report,
+    "docs_lang_source_rollup": docs_lang_source_rollup,
     "embeddings_kmeans": embeddings_kmeans,
     "media_features": media_features,
     "events_distinct_types": events_distinct_types,
