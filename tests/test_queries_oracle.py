@@ -77,6 +77,77 @@ def test_all_queries_run_at_smallest_scale():
         assert res is not None and len(res.columns) > 0, name
 
 
+EDGE_EVENT_QUERIES = [
+    "events_purchase_view_window",
+    "events_asof_join",
+    "events_rolling_count",
+    "events_user_sessions",
+    "events_distinct_users_by_type",
+]
+
+
+@pytest.mark.parametrize("name", EDGE_EVENT_QUERIES)
+def test_edge_case_events_match_oracle(name, tmp_path):
+    """Adversarial event streams through the driver comparison: window
+    boundary ties (view exactly AT the purchase ts, view exactly at the
+    -1h edge), purchases with no views, view-only users, same-ts
+    duplicate events, single-event users, and user ids that collide in
+    one co-partition bucket (u and u+NUM_BUCKETS)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuscraper_ray.config import NUM_BUCKETS
+
+    t0 = pd.Timestamp("2025-01-01 12:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: boundary ties — views at exactly -60min, -1us, and AT ts
+        (1, t0 - 60 * m, "view"),
+        (1, t0 - pd.Timedelta(microseconds=1), "view"),
+        (1, t0, "view"),
+        (1, t0, "purchase"),
+        # user 2: purchase with no views at all
+        (2, t0, "purchase"),
+        # user 3: view-only
+        (3, t0 - 5 * m, "view"),
+        # user 4: two purchases at the SAME ts + an old view (>1h before)
+        (4, t0 - 61 * m, "view"),
+        (4, t0 + m, "purchase"),
+        (4, t0 + m, "purchase"),
+        # bucket collision: user 1 + NUM_BUCKETS shares user 1's bucket
+        (1 + NUM_BUCKETS, t0 - m, "view"),
+        (1 + NUM_BUCKETS, t0, "purchase"),
+        # user 5: session-gap exactly 30min (not > 30min) then > 30min
+        (5, t0, "view"),
+        (5, t0 + 30 * m, "view"),
+        (5, t0 + 61 * m, "view"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    result = entry_mod.queries()[name](str(tmp_path))
+    if hasattr(result, "to_pandas"):
+        result = result.to_pandas()
+    expected = c.execute(entry_mod.oracle_sql()[name]).df()
+    got, want = _normalize(result), _normalize(expected)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 EDGE_QUERIES = ["docs_chunk_dedup", "docs_vocab_stats", "docs_top_terms"]
 
 
