@@ -165,6 +165,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type FROM events "
             "WHERE (" + polyhash.sql_fingerprint("event_id::VARCHAR") + ") % 20 = 0"
         ),
+        "docs_pack_sequences": (
+            "SELECT doc_id, n_tokens, "
+            "(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)::BIGINT "
+            "AS start_offset, "
+            "((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 512)::BIGINT "
+            "AS seq_id FROM (SELECT doc_id, "
+            "len(str_split(text, ' '))::BIGINT AS n_tokens FROM documents)"
+        ),
         "docs_token_count": (
             "SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_tokens "
             "FROM documents"

@@ -2350,6 +2350,83 @@ def docs_lang_source_rollup(sf_dir: str):
     return out[["lang", "source", "n_docs", "sum_chars"]]
 
 
+PACK_SEQ_LEN = 512
+
+
+def docs_pack_sequences(sf_dir: str):
+    """Sequence packing for LM training: documents concatenated in
+    doc-id order into fixed 512-token training sequences; each doc gets
+    its global token start offset and the id of the sequence containing
+    its first token — i.e. a DISTRIBUTED ORDERED PREFIX SUM, the one
+    aggregation shape nothing else in the engine exercises (every other
+    aggregate is order-free).
+
+    Scale shape: doc-id RANGE buckets preserve order both within and
+    across buckets (bucket is monotone in doc_id), so the global scan
+    decomposes into (A) per-bucket token totals — combiner partials,
+    one tiny exchange — whose exclusive cumsum over B values on the
+    driver gives each bucket's global starting offset, and (B) one
+    in-bucket vectorized cumsum shifted by the broadcast offset. Token
+    counting is recomputed in pass B rather than materializing a
+    corpus-sized intermediate — recompute-over-materialize is the
+    scale-honest trade for a cheap kernel."""
+    from neuscraper_ray.functions.textstats import token_count_batch
+
+    n_buckets = NUM_BUCKETS
+    max_id = int(_read(sf_dir, "documents", ["doc_id"]).max("doc_id") or 0)
+    span = max_id + 1
+
+    def with_counts(t: pa.Table) -> pa.Table:
+        nt = token_count_batch(t)
+        ids = nt.column("doc_id").to_numpy()
+        rb = (ids * n_buckets // span).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": nt.column("doc_id"),
+                "n_tokens": nt.column("n_tokens"),
+                "rb": pa.array(rb),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bucket_partial(t: pa.Table) -> pd.DataFrame:
+        df = with_counts(t).to_pandas()
+        return df.groupby("rb", sort=False, as_index=False)["n_tokens"].sum()
+
+    totals = (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("rb")
+        .aggregate(Sum("n_tokens", alias_name="total"))
+        .to_pandas()
+    )
+    offsets = np.zeros(n_buckets, dtype=np.int64)
+    for _, r in totals.iterrows():
+        offsets[int(r["rb"])] = int(r["total"])
+    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+    offsets_ref = ray.put(offsets)
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)
+        df = df.sort_values("doc_id", kind="mergesort")
+        nt = df["n_tokens"].to_numpy().astype(np.int64)
+        start = off[int(df["rb"].iloc[0])] + np.cumsum(nt) - nt
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": nt,
+                "start_offset": start,
+                "seq_id": start // PACK_SEQ_LEN,
+            }
+        )
+
+    return (
+        ds.map_batches(with_counts, batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------ embeddings
 
 
@@ -2559,6 +2636,7 @@ ALL_QUERIES = {
     "docs_sample_per_lang": docs_sample_per_lang,
     "corpus_report": corpus_report,
     "docs_lang_source_rollup": docs_lang_source_rollup,
+    "docs_pack_sequences": docs_pack_sequences,
     "embeddings_kmeans": embeddings_kmeans,
     "media_features": media_features,
     "events_distinct_types": events_distinct_types,
