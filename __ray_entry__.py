@@ -328,6 +328,59 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
             "GROUP BY o_orderpriority"
         ),
+        "q18_large_orders": (
+            "SELECT o_custkey, c_name, o_orderkey, o_totalprice, sum_qty "
+            "FROM orders JOIN customer ON o_custkey = c_custkey JOIN ("
+            "SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey) s ON o_orderkey = s.l_orderkey "
+            "WHERE sum_qty >= 250"
+        ),
+        "q15_top_supplier": (
+            "WITH r AS (SELECT l_suppkey, "
+            "sum(round(l_extendedprice * 100)::BIGINT * "
+            "(100 - round(l_discount * 100)::BIGINT))::BIGINT AS total_rev_e4 "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_rev_e4 "
+            "FROM supplier JOIN r ON s_suppkey = l_suppkey "
+            "WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM r)"
+        ),
+        "q10_returned_revenue": (
+            "SELECT c_custkey, c_name, n_name, revenue_e4 FROM ("
+            "SELECT o_custkey, "
+            "sum(round(l_extendedprice * 100)::BIGINT * "
+            "(100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4 "
+            "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-10-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY o_custkey "
+            "ORDER BY revenue_e4 DESC, o_custkey ASC LIMIT 20) t "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "q17_small_qty_revenue": (
+            "WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'), "
+            "a AS (SELECT l_partkey, sum(l_quantity::BIGINT)::BIGINT AS s, "
+            "count(*)::BIGINT AS n FROM lineitem "
+            "JOIN bp ON l_partkey = p_partkey GROUP BY l_partkey) "
+            "SELECT count(*)::BIGINT AS n_items, "
+            "coalesce(sum(round(l_extendedprice * 100)::BIGINT), 0)::BIGINT "
+            "AS revenue_e2 FROM lineitem JOIN a ON lineitem.l_partkey = a.l_partkey "
+            "WHERE 5 * l_quantity::BIGINT * a.n < a.s"
+        ),
+        "q22_idle_rich_customers": (
+            "WITH t AS (SELECT sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS s, "
+            "count(*)::BIGINT AS n FROM customer WHERE c_acctbal > 0) "
+            "SELECT n_name, count(*)::BIGINT AS n_custs, "
+            "sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS total_acctbal_e2 "
+            "FROM customer CROSS JOIN t "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE c_acctbal > 0 AND round(c_acctbal * 100)::BIGINT * t.n > t.s "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT') "
+            "GROUP BY n_name"
+        ),
         "q14_promo_revenue": (
             "WITH l AS (SELECT l_partkey, round(l_extendedprice * 100)::BIGINT * "
             "(100 - round(l_discount * 100)::BIGINT) AS rev FROM lineitem "

@@ -2587,6 +2587,404 @@ def curate_drop_reasons(sf_dir: str):
     return df
 
 
+Q18_MIN_QTY = 250
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H-Q18-shape large-volume orders: orders whose lineitem
+    quantity total reaches a threshold, with customer names attached.
+
+    Scale shape: the HAVING filter runs INSIDE the join bucket —
+    lineitem collapses to per-batch combiner partials, one
+    co-partitioned ``hash_join`` against orders finishes the per-order
+    sum AND applies ``sum_qty >= T`` in ``right_prepare``, so only
+    qualifying orders (the extreme tail at any scale) leave the
+    exchange. The qualifying set is output-sized, so customer names
+    attach by collecting it, broadcasting its (tiny) custkey set, and
+    scanning customer filtered to those keys — never broadcasting the
+    full customer dimension."""
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(),
+                "sum_qty": df["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+        return out.groupby("l_orderkey", sort=False, as_index=False)["sum_qty"].sum()
+
+    partials = li.map_batches(combiner, batch_format="pandas")
+
+    def finish_having(rf):
+        g = rf.group_by("o_orderkey").agg(pl.col("sum_qty").sum())
+        return g.filter(pl.col("sum_qty") >= Q18_MIN_QTY)
+
+    qual = hash_join(
+        orders,
+        partials,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_orderkey", pa.int64()), ("sum_qty", pa.int64())]),
+        right_prepare=finish_having,
+    ).to_pandas()  # output-sized: only orders past the HAVING tail
+
+    keys_ref = ray.put(set(qual["o_custkey"].astype(int)))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["c_custkey"].isin(ray.get(keys_ref))]
+
+    names = cust.map_batches(pick, batch_format="pandas").to_pandas()
+    out = qual.merge(names, left_on="o_custkey", right_on="c_custkey")
+    return out[["o_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty"]]
+
+
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shape top supplier: the supplier(s) achieving the
+    global-max quarterly revenue — the argmax-of-an-aggregate shape.
+
+    Scale shape: lineitem is date-pruned AT THE READ and collapsed to
+    per-suppkey combiner partials per batch; the per-supplier totals
+    merge in coarse crc buckets (never a high-cardinality
+    ``groupby().aggregate()``) and the merged dataset — supplier
+    cardinality, distributed — is materialized ONCE and scanned twice:
+    pass 1 reduces to per-bucket maxima (B rows to the driver, global
+    max by fold), pass 2 filters ``total == max`` in-stream. Winner
+    names attach from the broadcast supplier dimension."""
+    import pyarrow.compute as pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= pd.Timestamp(Q15_DATE_LO))
+        & (pc.field("l_shipdate") < pd.Timestamp(Q15_DATE_HI)),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_suppkey": df["l_suppkey"].to_numpy().astype(np.int64),
+                "rev": cents * (100 - dpct),
+            }
+        )
+        g = out.groupby("l_suppkey", sort=False, as_index=False)["rev"].sum()
+        g["hb"] = (g["l_suppkey"] % 16).astype(np.int32)
+        return g
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_suppkey", sort=False, as_index=False)["rev"].sum()
+
+    totals = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .materialize()  # supplier-cardinality, stays distributed
+    )
+
+    def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"m": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"m": [int(df["rev"].max())]})
+
+    maxima = totals.map_batches(bucket_max, batch_format="pandas").to_pandas()
+    cols = ["s_suppkey", "s_name", "total_rev_e4"]
+    if len(maxima) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64" if c != "s_name" else "object") for c in cols})
+    gmax = int(maxima["m"].max())
+    winners = totals.filter(
+        expr=f"rev == {gmax}"
+    ).to_pandas()  # output-sized: ties at the global max
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.rename(columns={"rev": "total_rev_e4"})
+    return out[cols]
+
+
+Q10_DATE_LO = "1996-10-01"
+Q10_DATE_HI = "1997-01-01"
+
+
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H-Q10-shape returned-item report: top-20 customers by
+    revenue lost to returned items in one quarter.
+
+    Scale shape: both fact sides are pruned at the read (orders by
+    date via row-group filter, lineitem to ``l_returnflag = 'R'``);
+    lineitem collapses to per-orderkey revenue partials
+    (``left_prepare`` finishes the sum in-bucket); ONE co-partitioned
+    ``hash_join`` attaches o_custkey; per-custkey totals merge in
+    coarse crc buckets with a per-bucket top-20 (driver sees 20 x B
+    rows, the ``docs_top_terms`` topology); names for the final 20
+    keys come from a filtered customer scan + tiny nation broadcast."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= pd.Timestamp(Q10_DATE_LO))
+        & (pc.field("o_orderdate") < pd.Timestamp(Q10_DATE_HI)),
+    )
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(),
+                "rev": cents * (100 - dpct),
+            }
+        )
+        return out.groupby("l_orderkey", sort=False, as_index=False)["rev"].sum()
+
+    joined = hash_join(
+        li.map_batches(rev_partial, batch_format="pandas"),
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        left_prepare=lambda lf: lf.group_by("l_orderkey").agg(pl.col("rev").sum()),
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c": t["o_custkey"].to_numpy(zero_copy_only=False),
+                "rev": t["rev"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("c", sort=False, as_index=False)["rev"].sum()
+        g["hb"] = (g["c"] % 16).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c", sort=False, as_index=False)["rev"].sum()
+        g = g.sort_values(["rev", "c"], ascending=[False, True], kind="mergesort")
+        return g.head(20)
+
+    cand = (
+        joined.map_batches(cust_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("hb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()  # 20 x B rows
+        .sort_values(["rev", "c"], ascending=[False, True], kind="mergesort")
+        .head(20)
+    )
+    keys_ref = ray.put(set(cand["c"].astype(int)))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["c_custkey"].isin(ray.get(keys_ref))]
+
+    names = cust.map_batches(pick, batch_format="pandas").to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n2name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    out = cand.merge(names, left_on="c", right_on="c_custkey")
+    out["n_name"] = out["c_nationkey"].astype(int).map(n2name)
+    out = out.rename(columns={"rev": "revenue_e4"})
+    out = out.sort_values(
+        ["revenue_e4", "c_custkey"], ascending=[False, True], kind="mergesort"
+    )
+    return out[["c_custkey", "c_name", "n_name", "revenue_e4"]].reset_index(drop=True)
+
+
+Q17_BRAND = "Brand#4"
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-shape small-quantity-order revenue: total revenue of
+    one brand's lineitems whose quantity is below 20% of that part's
+    average — the decorrelated correlated-aggregate shape.
+
+    Scale shape: the brand's partkeys (a ~0.1% slice of part) broadcast
+    once; pass 1 builds per-part (sum_qty, n) from combiner partials
+    merged in coarse crc buckets (brand-part cardinality, collected —
+    output-bounded by the brand slice); pass 2 re-scans lineitem with
+    the broadcast per-part stats and keeps ``5 * qty * n < sum_qty``
+    (the exact-integer form of ``qty < 0.2 * avg``, no float division
+    on either engine), reducing to one global sum. Zero all-to-all
+    exchanges."""
+    brand = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    bkeys = brand.loc[brand["p_brand"] == Q17_BRAND, "p_partkey"].astype(int)
+    bkeys_ref = ray.put(set(bkeys))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_partkey"].isin(ray.get(bkeys_ref))]
+        out = pd.DataFrame(
+            {
+                "p": df["l_partkey"].to_numpy(),
+                "s": df["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+        g = out.groupby("p", sort=False, as_index=False).agg(
+            s=("s", "sum"), n=("s", "size")
+        )
+        g["hb"] = (g["p"] % 16).astype(np.int32)
+        return g
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p", sort=False, as_index=False)[["s", "n"]].sum()
+
+    stats = (
+        li.map_batches(stats_partial, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()  # brand-slice cardinality
+    )
+    stats_ref = ray.put(stats[["p", "s", "n"]].astype(np.int64))
+
+    def small_qty(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        # vectorized pandas hash join against the broadcast stats frame
+        m = df.merge(st, left_on="l_partkey", right_on="p", how="inner")
+        qty = m["l_quantity"].to_numpy().astype(np.int64)
+        keep = 5 * qty * m["n"].to_numpy() < m["s"].to_numpy()
+        cents = np.rint(m["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n_items": np.asarray([int(keep.sum())], dtype=np.int64),
+                "revenue_e2": np.asarray([int(cents[keep].sum())], dtype=np.int64),
+            }
+        )
+
+    row = li.map_batches(small_qty, batch_format="pandas").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_e2", alias_name="revenue_e2"),
+    )
+    row = row or {}
+    return pd.DataFrame(
+        [
+            {
+                "n_items": int(row.get("n_items") or 0),
+                "revenue_e2": int(row.get("revenue_e2") or 0),
+            }
+        ]
+    )
+
+
+def q22_idle_rich_customers(sf_dir: str):
+    """TPC-H-Q22-shape global-customer-relationship: per-nation count
+    and balance of customers whose balance beats the global positive
+    average and who never placed a 1-URGENT order — scalar-subquery
+    broadcast + anti join + small group.
+
+    Scale shape: the global average decorrelates into two scalars
+    (sum_e2, n) from combiner partials, broadcast once; the comparison
+    is the exact-integer cross-multiplication ``bal_e2 * n > sum_e2``
+    (no float division on either engine); the anti join broadcasts the
+    distinct-urgent-customer key set built from per-batch unique
+    lists over a read pruned to the urgent slice (J2, the
+    ``customers_no_orders`` machinery — swap in a Bloom filter beyond
+    dimension scale); the final rollup is a 25-group aggregate over
+    per-batch partials."""
+    import pyarrow.compute as pc
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bal = np.rint(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = bal[df["c_acctbal"].to_numpy() > 0]
+        return pd.DataFrame(
+            {
+                "s": np.asarray([int(pos.sum())], dtype=np.int64),
+                "n": np.asarray([len(pos)], dtype=np.int64),
+            }
+        )
+
+    row = cust.map_batches(bal_partial, batch_format="pandas").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    s_pos, n_pos = int(row["s"] or 0), int(row["n"] or 0)
+
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+
+    def batch_keys(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("o_custkey").to_numpy())
+        return pa.table({"ks": pa.array([u.tolist()], pa.list_(pa.int64()))})
+
+    rows = urgent.map_batches(batch_keys, batch_format="pyarrow").take_all()
+    have_urgent = set(
+        np.concatenate([np.asarray(r["ks"], dtype=np.int64) for r in rows]).tolist()
+        if rows
+        else []
+    )
+    ctx_ref = ray.put((s_pos, n_pos, have_urgent))
+
+    def nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s, n, ho = ray.get(ctx_ref)
+        bal_e2 = np.rint(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        keep = (
+            (df["c_acctbal"].to_numpy() > 0)
+            & (bal_e2 * n > s)
+            & ~df["c_custkey"].isin(ho).to_numpy()
+        )
+        part = pd.DataFrame(
+            {
+                "c_nationkey": df["c_nationkey"].to_numpy()[keep].astype(np.int64),
+                "bal_e2": bal_e2[keep],
+            }
+        )
+        g = part.groupby("c_nationkey", sort=False, as_index=False).agg(
+            n_custs=("bal_e2", "size"), total_acctbal_e2=("bal_e2", "sum")
+        )
+        return g
+
+    agg = cust.map_batches(nation_partial, batch_format="pandas").groupby(
+        "c_nationkey"
+    ).aggregate(
+        Sum("n_custs", alias_name="n_custs"),
+        Sum("total_acctbal_e2", alias_name="total_acctbal_e2"),
+    )
+    df = agg.to_pandas()
+    if df.empty:  # degenerate slice: keep the schema
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series([], dtype="object"),
+                "n_custs": pd.Series([], dtype="int64"),
+                "total_acctbal_e2": pd.Series([], dtype="int64"),
+            }
+        )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n2name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    df["n_name"] = df["c_nationkey"].astype(int).map(n2name)
+    df["n_custs"] = df["n_custs"].astype("int64")
+    df["total_acctbal_e2"] = df["total_acctbal_e2"].astype("int64")
+    return df[["n_name", "n_custs", "total_acctbal_e2"]]
+
+
 ALL_QUERIES = {
     "docs_token_count": docs_token_count,
     "docs_content_hash": docs_content_hash,
@@ -2626,6 +3024,11 @@ ALL_QUERIES = {
     "orders_rank_in_customer": orders_rank_in_customer,
     "events_type_dow_pivot": events_type_dow_pivot,
     "q4_order_priority": q4_order_priority,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "q13_customer_distribution": q13_customer_distribution,
     "events_purchase_view_window": events_purchase_view_window,
     "docs_posting_lists": docs_posting_lists,
