@@ -79,6 +79,23 @@ def oracle_sql() -> dict[str, str]:
             "doc_id)::BIGINT AS rn FROM documents) WHERE rn <= 5"
         ),
         "docs_decontaminate": polyhash.sql_decontaminate("documents"),
+        "docs_contamination_frac": polyhash.sql_contamination_frac("documents"),
+        "docs_mix_sources": (
+            "SELECT doc_id, source FROM documents WHERE "
+            "(" + polyhash.sql_fingerprint("doc_id::VARCHAR") + ") % 100 < "
+            "((CAST(substring(source, 4) AS BIGINT) % 4) + 1) * 25"
+        ),
+        "docs_quality_percentile": (
+            "WITH h AS (SELECT n_chars AS v, count(*)::BIGINT AS c "
+            "FROM documents GROUP BY 1), "
+            "cum AS (SELECT v, (sum(c) OVER (ORDER BY v) - c)::BIGINT AS below "
+            "FROM h), "
+            "t AS (SELECT greatest(count(*) - 1, 1)::BIGINT AS denom "
+            "FROM documents) "
+            "SELECT doc_id, n_chars, "
+            "((below * 1000000) // denom)::BIGINT AS pct_rank_ppm "
+            "FROM documents JOIN cum ON n_chars = v CROSS JOIN t"
+        ),
         "docs_jaccard_pairs": polyhash.sql_jaccard_pairs("documents"),
         "docs_token_quantiles": (
             "SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p, "
@@ -508,6 +525,10 @@ def oracle_sql() -> dict[str, str]:
         # - pages_annotation_offsets: M15 annotation export (HTML parse
         #   + renderer offsets) — non-SQL; semantics pinned in
         #   tests/test_annotation_export.py.
+        # - docs_semantic_dedup: SemDeDup — k-means is an iterative
+        #   fixpoint with no SQL oracle; determinism, dup_of validity
+        #   and the no-surviving-near-pair invariant are pinned in
+        #   tests/test_functions.py.
         # - docs_cms_heavy_hitters: count-min sketch — approximate by
         #   construction (bounded overestimate); the CM bound and the
         #   exact counts are pinned in tests/test_functions.py, and the

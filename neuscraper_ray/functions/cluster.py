@@ -109,3 +109,75 @@ def kmeans_assign(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign each
+    embedding to its nearest k-means centroid, then WITHIN each cluster
+    mark every vector that has a lower-id neighbor with cosine
+    similarity >= threshold as a semantic duplicate of the smallest
+    such neighbor. -> (vec_id, cluster, is_dup, dup_of) where dup_of
+    is -1 for survivors.
+
+    Scale shape: centroids broadcast via ``ray.put`` (zero-shuffle
+    assignment fused into the widen pass); exactly ONE all-to-all
+    co-locates each cluster (k groups — bounded, never a
+    high-cardinality groupby); in-cluster dedup is one normalized
+    matmul + a vectorized first-True argmax over the strict
+    lower-triangle (no Python pair loop). The |cluster|^2 similarity
+    block is the operator's memory bound — the paper's own recipe is
+    to grow k with the corpus so n/k stays fixed, which is why k is a
+    caller-supplied parameter rather than a constant.
+
+    No SQL oracle (k-means is an iterative fixpoint); tests pin
+    determinism, the no-surviving-near-pair invariant, and dup_of
+    validity (lower id, similarity >= threshold, same cluster).
+    """
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def widen(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _stack(t.column(vec_col))
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                vec_col: t.column(vec_col),
+                "cluster": d2.argmin(axis=1).astype(np.int64),
+            }
+        )
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _stack(t.column(vec_col))[order]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sim = mn @ mn.T
+        n = len(ids)
+        hit = (sim >= threshold) & np.tri(n, n, -1, dtype=bool)  # j < i only
+        has_dup = hit.any(axis=1)
+        first_j = hit.argmax(axis=1)  # first True per row (valid where has_dup)
+        dup_of = np.where(has_dup, ids[first_j], -1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": ids.astype(np.int64),
+                "cluster": t.column("cluster").to_numpy()[order].astype(np.int64),
+                "is_dup": has_dup,
+                "dup_of": dup_of,
+            }
+        )
+
+    return (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )

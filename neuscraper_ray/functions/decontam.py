@@ -132,3 +132,60 @@ def decontaminate(
         )
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def contamination_frac(
+    ds: ray.data.Dataset,
+    bench_ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = DEFAULT_MODULUS,
+) -> ray.data.Dataset:
+    """-> (doc_id, n_shingles, n_shared, contam_ppm) for non-benchmark
+    docs: the graded variant of ``decontaminate`` — instead of a binary
+    flag, the FRACTION of each doc's distinct shingles found in the
+    benchmark set, in exact ppm (integer division — no float ties).
+    Pipelines threshold this to distinguish verbatim eval leakage
+    (high ppm) from incidental phrase overlap (low ppm).
+
+    Same scale shape as ``decontaminate``: broadcast sorted benchmark
+    array, two searchsorted passes per batch, zero corpus shuffle."""
+
+    def mark(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = t.column(id_col).to_numpy()
+        keep = ids % modulus != 0
+        ids = ids[keep]
+        texts = t.filter(pa.array(keep)).column(text_col).to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                    "contam_ppm": pa.array([], pa.int64()),
+                }
+            )
+        sh32, sh_doc = _doc_shingles(texts)
+        n_shingles = np.bincount(sh_doc, minlength=n).astype(np.int64)
+        if len(bench):
+            ix = np.searchsorted(bench, sh32)
+            ix[ix == len(bench)] = 0
+            hit = bench[ix] == sh32
+        else:
+            hit = np.zeros(len(sh32), dtype=bool)
+        n_shared = np.bincount(sh_doc[hit], minlength=n).astype(np.int64)
+        # every doc contributes >= 1 shingle (zero-word docs shingle to
+        # 0), so the divisor is never zero
+        ppm = (n_shared * 1_000_000) // n_shingles
+        return pa.table(
+            {
+                "doc_id": ids.astype(np.int64),
+                "n_shingles": n_shingles,
+                "n_shared": n_shared,
+                "contam_ppm": ppm,
+            }
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow")

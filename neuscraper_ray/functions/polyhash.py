@@ -465,6 +465,27 @@ GROUP BY s.doc_id
 """
 
 
+def sql_contamination_frac(table: str = "documents", modulus: int = 20) -> str:
+    """Full DuckDB statement: graded benchmark-overlap fraction ->
+    (doc_id, n_shingles, n_shared, contam_ppm BIGINT) for non-benchmark
+    docs. Value-identical to ``decontam.contamination_frac`` (same
+    shingle contract; ppm is integer floor division on both engines;
+    ``shu`` is distinct-per-doc so count(*) is the distinct shingle
+    count and is never zero — empty docs shingle to the single 0)."""
+    return f"""
+WITH {sql_shingle_ctes(table)},
+bench AS (
+  SELECT DISTINCT s32 FROM shu WHERE doc_id % {modulus} = 0
+)
+SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+       count(b.s32)::BIGINT AS n_shared,
+       ((count(b.s32) * 1000000) // count(*))::BIGINT AS contam_ppm
+FROM shu s LEFT JOIN bench b ON s.s32 = b.s32
+WHERE s.doc_id % {modulus} <> 0
+GROUP BY s.doc_id
+"""
+
+
 def sql_repetition_stats(table: str = "documents") -> str:
     """Full DuckDB statement: Gopher-style repetition stats ->
     (doc_id, n_words, total_chars, top2_cov, dup3_chars BIGINT).

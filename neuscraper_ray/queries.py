@@ -2587,6 +2587,102 @@ def curate_drop_reasons(sf_dir: str):
     return df
 
 
+def docs_contamination_frac(sf_dir: str):
+    """Graded benchmark decontamination: per-doc FRACTION of distinct
+    shingles found in the benchmark set, exact ppm — thresholds
+    separate verbatim eval leakage from incidental phrase overlap.
+    Same zero-corpus-shuffle shape as ``docs_decontaminate``
+    (distributed distinct-shingle build, broadcast sorted array,
+    searchsorted per batch); SQL-verified via the shared polyhash
+    contract."""
+    from neuscraper_ray.functions.decontam import (
+        benchmark_shingle_array,
+        contamination_frac,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = benchmark_shingle_array(ds)
+    return contamination_frac(ds, ray.put(bench))
+
+
+def docs_mix_sources(sf_dir: str):
+    """Data mixing with per-source target rates (the multi-corpus
+    weighting step of LLM pretraining — e.g. upweight curated sources,
+    downsample crawl): source ``srcN`` keeps ``(N % 4 + 1) * 25`` % of
+    its documents via the same deterministic polyhash gate as
+    ``docs_stratified_sample``. Zero shuffle, streams, rerun-stable on
+    any partitioning; rates are a pure function of the row so the gate
+    is SQL-reproducible."""
+    from neuscraper_ray.functions.polyhash import int_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        srcnum = df["source"].str.slice(3).astype(np.int64).to_numpy()
+        rate = (srcnum % 4 + 1) * 25
+        h = int_fingerprints(df["doc_id"].to_numpy())
+        return df[h % 100 < rate]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def docs_quality_percentile(sf_dir: str):
+    """Global percent-rank of document length (the
+    percentile-normalization step behind "keep the top X% by quality"
+    filters), exact ppm: ``(#docs strictly shorter * 1e6) //
+    (n - 1)``.
+
+    Scale shape: the corpus-wide distribution compresses to a (value,
+    count) histogram (combiner partials, coarse-bucket merge — the
+    ``docs_length_deciles`` topology), the cumulative-below table
+    broadcasts via ``ray.put``, and assignment is one vectorized
+    ``searchsorted`` per batch — a zero-shuffle streaming second
+    pass."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", sort=False).size().reset_index(name="cnt")
+        g["hb"] = (g["n_chars"] % 16).astype(np.int32)
+        return g
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_chars", sort=False, as_index=False)["cnt"].sum()
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    values = hist["n_chars"].to_numpy()
+    cnts = hist["cnt"].to_numpy()
+    below = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+    n = int(cnts.sum())
+    ctx_ref = ray.put((values, below, max(n - 1, 1)))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        vals, bel, denom = ray.get(ctx_ref)
+        ix = np.searchsorted(vals, df["n_chars"].to_numpy())
+        df["pct_rank_ppm"] = (bel[ix] * 1_000_000) // denom
+        return df[["doc_id", "n_chars", "pct_rank_ppm"]]
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def docs_semantic_dedup(sf_dir: str):
+    """SemDeDup over the embeddings table: k-means coarse clusters,
+    then in-cluster cosine near-dup marking (first-wins by vec_id).
+    Rows-only: k-means is an iterative fixpoint with no SQL oracle;
+    determinism and the no-surviving-near-pair invariant are pinned in
+    tests/test_functions.py."""
+    from neuscraper_ray.functions.cluster import kmeans_fit, semantic_dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, _ = kmeans_fit(emb, k=8, iters=5)
+    return semantic_dedup(emb, cent, threshold=0.3)
+
+
 Q18_MIN_QTY = 250
 
 
@@ -3007,6 +3103,10 @@ ALL_QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_decontaminate": docs_decontaminate,
+    "docs_contamination_frac": docs_contamination_frac,
+    "docs_mix_sources": docs_mix_sources,
+    "docs_quality_percentile": docs_quality_percentile,
+    "docs_semantic_dedup": docs_semantic_dedup,
     "docs_token_quantiles": docs_token_quantiles,
     "docs_length_quantiles_by_lang": docs_length_quantiles_by_lang,
     "docs_top_terms": docs_top_terms,

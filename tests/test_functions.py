@@ -394,6 +394,52 @@ def test_kmeans_deterministic_and_converging():
     assert out["cluster"].nunique() > 1  # real embeddings split into clusters
 
 
+def test_semantic_dedup_invariants():
+    """SemDeDup: deterministic; every dup_of is a lower-id same-cluster
+    vector with cosine >= threshold; no surviving pair within a
+    cluster is above threshold (the operator's contract)."""
+    import numpy as np
+
+    from neuscraper_ray.functions.cluster import kmeans_fit, semantic_dedup
+
+    ds = ray.data.read_parquet(
+        SF_DIR + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent, _ = kmeans_fit(ds, k=4, iters=3)
+    thr = 0.3
+    out1 = semantic_dedup(ds, cent, threshold=thr).to_pandas()
+    out2 = semantic_dedup(ds, cent, threshold=thr).to_pandas()
+    pd.testing.assert_frame_equal(
+        out1.sort_values("vec_id").reset_index(drop=True),
+        out2.sort_values("vec_id").reset_index(drop=True),
+    )
+    assert len(out1) == ds.count()
+    assert out1["is_dup"].any()  # threshold chosen so dups exist here
+
+    emb = ds.to_pandas()
+    m = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy()).astype(
+        np.float64
+    )
+    ids = emb["vec_id"].sort_values().to_numpy()
+    mn = m / np.linalg.norm(m, axis=1)[:, None]
+    pos = {int(v): i for i, v in enumerate(ids)}
+    byc = out1.set_index("vec_id")
+    for _, r in out1[out1["is_dup"]].iterrows():
+        assert r["dup_of"] < r["vec_id"]
+        assert byc.loc[r["dup_of"], "cluster"] == r["cluster"]
+        sim = float(mn[pos[int(r["vec_id"])]] @ mn[pos[int(r["dup_of"])]])
+        assert sim >= thr - 1e-12
+    # survivors: no intra-cluster pair above threshold
+    surv = out1[~out1["is_dup"]]
+    for _, g in surv.groupby("cluster"):
+        if len(g) < 2:
+            continue
+        sub = mn[[pos[int(v)] for v in g["vec_id"]]]
+        s = sub @ sub.T
+        np.fill_diagonal(s, 0.0)
+        assert (s < thr + 1e-12).all()
+
+
 def test_hash_join_duplicate_keys_cartesian():
     """Duplicate keys on both sides must produce the SQL cartesian
     per key, matching a pandas merge exactly."""
