@@ -409,6 +409,29 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000) // sum(rev)::HUGEINT)::BIGINT AS promo_share_ppm "
             "FROM l JOIN part ON l_partkey = p_partkey"
         ),
+        "events_funnel": (
+            "WITH v AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND e.ts > v.t "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "p AS (SELECT DISTINCT e.user_id FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND e.ts > c.t "
+            "WHERE e.event_type = 'purchase') "
+            "SELECT 'view' AS stage, (SELECT count(*) FROM v)::BIGINT AS n_users "
+            "UNION ALL SELECT 'view>click', (SELECT count(*) FROM c)::BIGINT "
+            "UNION ALL SELECT 'view>click>purchase', "
+            "(SELECT count(*) FROM p)::BIGINT"
+        ),
+        "orders_retention_cohort": (
+            "WITH f AS (SELECT o_custkey, min(year(o_orderdate))::BIGINT "
+            "AS cohort_year FROM orders GROUP BY o_custkey), "
+            "d AS (SELECT DISTINCT o.o_custkey, f.cohort_year, "
+            "year(o.o_orderdate)::BIGINT AS order_year "
+            "FROM orders o JOIN f ON o.o_custkey = f.o_custkey) "
+            "SELECT cohort_year, order_year, count(*)::BIGINT AS n_customers "
+            "FROM d GROUP BY cohort_year, order_year"
+        ),
         "events_distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
             "FROM events GROUP BY event_type"

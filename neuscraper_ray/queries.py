@@ -2683,6 +2683,125 @@ def docs_semantic_dedup(sf_dir: str):
     return semantic_dedup(emb, cent, threshold=0.3)
 
 
+def events_funnel(sf_dir: str):
+    """Ordered conversion funnel (view -> later click -> later
+    purchase): how many users reach each stage, where each stage must
+    happen strictly AFTER the user's earliest completion of the
+    previous one — the classic product-analytics shape that plain
+    per-type counts get wrong.
+
+    Scale shape: ONE all-to-all co-partitions each user's events
+    (``user_id % B``); inside the bucket the stage logic is three
+    vectorized pandas groupby-min + merge passes (no per-user Python
+    loop); each bucket emits ONE 3-counter partial row and the driver
+    folds B rows."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["user_id"] % NUM_BUCKETS).astype(np.int32)
+        return df
+
+    def funnel_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = (
+            df[df["event_type"] == "view"]
+            .groupby("user_id", sort=False, as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t_view"})
+        )
+        c = df[df["event_type"] == "click"].merge(v, on="user_id")
+        c = (
+            c[c["ts"] > c["t_view"]]
+            .groupby("user_id", sort=False, as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t_click"})
+        )
+        p = df[df["event_type"] == "purchase"].merge(c, on="user_id")
+        p = p[p["ts"] > p["t_click"]]
+        return pd.DataFrame(
+            {
+                "n_view": np.asarray([len(v)], dtype=np.int64),
+                "n_click": np.asarray([len(c)], dtype=np.int64),
+                "n_purchase": np.asarray([p["user_id"].nunique()], dtype=np.int64),
+            }
+        )
+
+    row = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(funnel_bucket, batch_format="pandas")
+        .aggregate(
+            Sum("n_view", alias_name="n_view"),
+            Sum("n_click", alias_name="n_click"),
+            Sum("n_purchase", alias_name="n_purchase"),
+        )
+    )
+    row = row or {}
+    return pd.DataFrame(
+        {
+            "stage": ["view", "view>click", "view>click>purchase"],
+            "n_users": np.asarray(
+                [
+                    int(row.get("n_view") or 0),
+                    int(row.get("n_click") or 0),
+                    int(row.get("n_purchase") or 0),
+                ],
+                dtype=np.int64,
+            ),
+        }
+    )
+
+
+def orders_retention_cohort(sf_dir: str):
+    """Retention cohort matrix: customers grouped by first-order year
+    (the cohort), counted in every year they ordered again — the
+    warehouse shape behind retention curves.
+
+    Scale shape: ONE all-to-all co-partitions each customer's orders
+    (``o_custkey % B``); the cohort year, the distinct (customer,
+    year) pairs, and the per-(cohort, year) partial counts are all
+    vectorized inside the bucket (every order of a customer lands in
+    one bucket, so the in-bucket first-order min and dedup are
+    global); only |cohorts| x |years| partial rows per bucket reach
+    the final tiny groupby."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "c": df["o_custkey"].to_numpy(),
+                "yr": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+            }
+        )
+        out["bucket"] = (out["c"] % NUM_BUCKETS).astype(np.int32)
+        return out
+
+    def cohort_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        first = (
+            df.groupby("c", sort=False, as_index=False)["yr"]
+            .min()
+            .rename(columns={"yr": "cohort_year"})
+        )
+        d = df.merge(first, on="c")[["c", "cohort_year", "yr"]].drop_duplicates()
+        g = (
+            d.groupby(["cohort_year", "yr"], sort=False)
+            .size()
+            .reset_index(name="n_customers")
+            .rename(columns={"yr": "order_year"})
+        )
+        return g
+
+    agg = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(cohort_bucket, batch_format="pandas")
+        .groupby(["cohort_year", "order_year"])
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+    df = agg.to_pandas()
+    df["n_customers"] = df["n_customers"].astype("int64")
+    return df[["cohort_year", "order_year", "n_customers"]]
+
+
 Q18_MIN_QTY = 250
 
 
@@ -3135,6 +3254,8 @@ ALL_QUERIES = {
     "docs_length_deciles": docs_length_deciles,
     "q14_promo_revenue": q14_promo_revenue,
     "events_distinct_users_by_type": events_distinct_users_by_type,
+    "events_funnel": events_funnel,
+    "orders_retention_cohort": orders_retention_cohort,
     "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
     "docs_sample_per_lang": docs_sample_per_lang,
     "corpus_report": corpus_report,
