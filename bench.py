@@ -121,6 +121,12 @@ def _run_bench() -> dict:
         "order_totals_join",
         "orders_rank_in_customer",
         "q13_customer_distribution",
+        "q10_returned_revenue",
+        "q18_large_orders",
+        "events_funnel",
+        "docs_contamination_frac",
+        "docs_quality_percentile",
+        "docs_semantic_dedup",
         "docs_posting_lists",
         "ann_topk",
         "embedding_near_pairs",
