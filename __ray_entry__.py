@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from neuscraper_ray.functions import dsir as _dsir
     from neuscraper_ray.functions import polyhash
     from neuscraper_ray.functions import ann as _ann
     from neuscraper_ray.stages import heuristics as _heur
@@ -80,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_decontaminate": polyhash.sql_decontaminate("documents"),
         "docs_contamination_frac": polyhash.sql_contamination_frac("documents"),
+        "docs_dsir_weights": _dsir.sql_dsir("documents"),
         "docs_mix_sources": (
             "SELECT doc_id, source FROM documents WHERE "
             "(" + polyhash.sql_fingerprint("doc_id::VARCHAR") + ") % 100 < "

@@ -2683,6 +2683,24 @@ def docs_semantic_dedup(sf_dir: str):
     return semantic_dedup(emb, cent, threshold=0.3)
 
 
+def docs_dsir_weights(sf_dir: str):
+    """DSIR-style hashed-bigram importance weights + deterministic
+    resampling against the curated target slice (sources srcN with
+    N % 4 == 0). See ``functions/dsir.py`` for the integer-exact
+    ratio-of-sums variant and the 100-TB shape (dense 4096-bucket
+    partial per batch, broadcast count arrays, zero shuffle)."""
+    from neuscraper_ray.functions.dsir import dsir_counts, dsir_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def is_target(t: pa.Table):
+        src = t.column("source").to_pandas()
+        return (src.str.slice(3).astype(np.int64) % 4 == 0).to_numpy()
+
+    tgt, allc = dsir_counts(ds, is_target)
+    return dsir_score(ds, ray.put((tgt, allc)))
+
+
 def events_funnel(sf_dir: str):
     """Ordered conversion funnel (view -> later click -> later
     purchase): how many users reach each stage, where each stage must
@@ -3224,6 +3242,7 @@ ALL_QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "docs_contamination_frac": docs_contamination_frac,
     "docs_mix_sources": docs_mix_sources,
+    "docs_dsir_weights": docs_dsir_weights,
     "docs_quality_percentile": docs_quality_percentile,
     "docs_semantic_dedup": docs_semantic_dedup,
     "docs_token_quantiles": docs_token_quantiles,
