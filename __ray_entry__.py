@@ -554,6 +554,10 @@ def oracle_sql() -> dict[str, str]:
         #   fixpoint with no SQL oracle; determinism, dup_of validity
         #   and the no-surviving-near-pair invariant are pinned in
         #   tests/test_functions.py.
+        # - events_value_quantiles_sketch: mantissa-grid quantile
+        #   sketch — approximate by construction (relative error
+        #   <= 2^-11); the bound is pinned in tests/test_functions.py
+        #   and the query emits value_exact next to value_sketch.
         # - docs_cms_heavy_hitters: count-min sketch — approximate by
         #   construction (bounded overestimate); the CM bound and the
         #   exact counts are pinned in tests/test_functions.py, and the

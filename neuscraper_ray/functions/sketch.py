@@ -175,3 +175,142 @@ def cms_estimate(mat: np.ndarray, terms: list[str]) -> np.ndarray:
     for d in range(1, depth):
         est = np.minimum(est, mat[d][rows[d]])
     return est.astype(np.int64)
+
+
+# ---------------------------------------------------------------- quantiles
+
+QS_MANT_BITS = 12  # relative error <= 2^(1-12) = 2^-11 (~0.05%)
+
+
+def quantile_buckets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """float64 values -> (sorted unique bucket representatives, counts).
+
+    The bucket grid is value-independent and deterministic: each double
+    keeps its sign, exponent, and top ``QS_MANT_BITS`` mantissa bits
+    (floor toward zero) — a floating-point floor that guarantees
+    ``|bucket_rep - v| <= 2^(1-QS_MANT_BITS) * |v|`` (the mantissa is
+    in [0.5, 1), so a 2^-QS_MANT_BITS mantissa floor is at most
+    2^(1-QS_MANT_BITS) of the value). Because the grid is
+    fixed, partial (rep, count) histograms from any partitioning merge
+    by summing counts per rep — the mergeable-aggregate shape (same
+    topology as the HLL registers), with size bounded by the number of
+    POPULATED buckets, not the row count.
+
+    One vectorized pass: ``np.frexp`` + floor; non-finite inputs are
+    dropped (pandas groupby would silently refuse to merge NaN keys —
+    the sketch is defined over finite values, like SQL quantiles)."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[np.isfinite(v)]
+    finite = v != 0
+    m, e = np.frexp(v)
+    scale = float(1 << QS_MANT_BITS)
+    mq = np.trunc(m * scale) / scale  # toward zero: floor on |mantissa|
+    b = np.where(finite, np.ldexp(mq, e), v)
+    reps, counts = np.unique(b, return_counts=True)
+    return reps, counts.astype(np.int64)
+
+
+def quantile_sketch(
+    ds: ray.data.Dataset,
+    col: str,
+    ps: list[float],
+) -> "list[float]":
+    """Distributed one-pass approximate quantiles of a float column
+    with a RELATIVE error bound of 2^(1-QS_MANT_BITS) per value.
+
+    Per-batch (rep, count) histogram partials (combiner), a coarse
+    16-bucket in-bucket merge (never a high-cardinality groupby), and
+    the quantile read-off on the aggregated histogram — the exact
+    ``docs_token_quantiles`` topology generalized from small-int
+    domains to arbitrary doubles via the fixed mantissa grid. Read-off
+    uses the quantile_disc convention (index ceil(p*n)-1 ascending)."""
+    import math
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        reps, counts = quantile_buckets(t.column(col).to_numpy())
+        hb = (reps.view(np.uint64) >> _U(40)).astype(np.int64) % 16
+        return pa.table({"rep": reps, "cnt": counts, "hb": hb.astype(np.int32)})
+
+    def merge_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("rep", sort=False, as_index=False)["cnt"].sum()
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("rep")
+    )
+    reps = hist["rep"].to_numpy()
+    cum = np.cumsum(hist["cnt"].to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for p in ps:
+        if n == 0:
+            out.append(float("nan"))
+            continue
+        idx = max(0, math.ceil(p * n) - 1)
+        out.append(float(reps[np.searchsorted(cum, idx + 1)]))
+    return out
+
+
+# ------------------------------------------------------------ Bloom filter
+
+def bloom_build(
+    ds: ray.data.Dataset,
+    col: str,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+) -> np.ndarray:
+    """Distributed Bloom filter over an int64 key column -> packed
+    uint64 bitmap (n_bits/8 bytes; 1 MiB at the 2^23 default, ~0.1%
+    FPR at 500k keys with 5 hashes).
+
+    This is the documented swap-in for the broadcast key-SET anti
+    joins (``customers_no_orders``, ``q22``) once the key side outgrows
+    a Python set: per-batch bitmap partials (one packed row per batch,
+    the HLL register topology), elementwise-OR fold on the driver,
+    ``ray.put`` once. Querying is ``bloom_maybe_contains`` — false
+    positives possible (bounded, tests pin the rate), false negatives
+    impossible, so an anti join keyed on it must treat "maybe" as
+    "present" and verify the maybes exactly (prefilter semantics)."""
+    words = n_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = _bloom_bits(t.column(col).to_numpy(), n_bits, n_hashes)
+        bm = np.zeros(words, dtype=np.uint64)
+        np.bitwise_or.at(
+            bm, (bits >> _U(6)).ravel().astype(np.int64), _U(1) << (bits % _U(64)).ravel()
+        )
+        return pa.table({"bm": pa.array([bm.view(np.int64).tolist()],
+                                        pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out = np.zeros(words, dtype=np.uint64)
+    for r in rows:
+        out |= np.asarray(r["bm"], dtype=np.int64).view(np.uint64)
+    return out
+
+
+def _bloom_bits(keys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(len(keys), n_hashes) bit indices via double hashing
+    h1 + i*h2 (Kirsch–Mitzenmacher), both splitmix64-derived."""
+    k = np.asarray(keys, dtype=np.uint64)
+    h1 = splitmix64(k)
+    h2 = splitmix64(k ^ _U(0xA5A5A5A5A5A5A5A5)) | _U(1)
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % _U(n_bits)
+
+
+def bloom_maybe_contains(
+    bitmap: np.ndarray, keys: np.ndarray, n_hashes: int = 5
+) -> np.ndarray:
+    """Vectorized membership probe -> bool mask (True = maybe present,
+    False = definitely absent)."""
+    n_bits = len(bitmap) * 64
+    bits = _bloom_bits(keys, n_bits, n_hashes)
+    words = bitmap[(bits >> _U(6)).astype(np.int64)]
+    hit = (words >> (bits % _U(64))) & _U(1)
+    return hit.all(axis=1)

@@ -2683,6 +2683,35 @@ def docs_semantic_dedup(sf_dir: str):
     return semantic_dedup(emb, cent, threshold=0.3)
 
 
+def events_value_quantiles_sketch(sf_dir: str):
+    """One-pass approximate quantiles of the float ``value`` column via
+    the mergeable mantissa-grid sketch (``functions/sketch.py`` —
+    relative error <= 2^-11 per value). Rows-only: approximate by
+    construction; the error bound vs exact ``quantile_disc`` is pinned
+    in tests/test_functions.py, and the query emits the exact values
+    next to the sketch so quality is visible (the exact side is
+    affordable here only because the driver runs at tiny sf; at 100 TB
+    only the sketch column exists)."""
+    import duckdb
+
+    from neuscraper_ray.functions.sketch import quantile_sketch
+
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    ds = _read(sf_dir, "events", ["value"])
+    approx = quantile_sketch(ds, "value", ps)
+    exact = duckdb.query(
+        f"SELECT quantile_disc(value, {ps}) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    return pd.DataFrame(
+        {
+            "p": np.asarray(ps, dtype=np.float64),
+            "value_sketch": np.asarray(approx, dtype=np.float64),
+            "value_exact": np.asarray(exact, dtype=np.float64),
+        }
+    )
+
+
 def docs_dsir_weights(sf_dir: str):
     """DSIR-style hashed-bigram importance weights + deterministic
     resampling against the curated target slice (sources srcN with
@@ -3258,6 +3287,7 @@ ALL_QUERIES = {
     "events_sample": events_sample,
     "events_asof_join": events_asof_join,
     "events_distinct_users_hll": events_distinct_users_hll,
+    "events_value_quantiles_sketch": events_value_quantiles_sketch,
     "order_totals_join": order_totals_join,
     "orders_rank_in_customer": orders_rank_in_customer,
     "events_type_dow_pivot": events_type_dow_pivot,

@@ -394,6 +394,73 @@ def test_kmeans_deterministic_and_converging():
     assert out["cluster"].nunique() > 1  # real embeddings split into clusters
 
 
+def test_quantile_sketch_error_bound():
+    """Mantissa-grid quantile sketch: every readout within the
+    2^(1-QS_MANT_BITS) relative bound of the exact quantile_disc
+    value, and the bucketize function respects the bound per value."""
+    import duckdb
+    import numpy as np
+
+    from neuscraper_ray.functions.sketch import (
+        QS_MANT_BITS,
+        quantile_buckets,
+        quantile_sketch,
+    )
+
+    rel = 2.0 ** (1 - QS_MANT_BITS)
+    # per-value bound, incl. negatives, zeros, tiny/huge magnitudes
+    v = np.array([0.0, 1.0, -1.0, 3.141592653589793, -2.5e-8, 7.77e17, 123.456])
+    reps, counts = quantile_buckets(np.repeat(v, 2))
+    assert counts.sum() == 2 * len(v)
+    got = {}
+    for r in reps:
+        for x in v:
+            if abs(r - x) <= rel * abs(x):
+                got[x] = r
+    assert len(got) == len(set(v.tolist()))
+
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    ds = ray.data.read_parquet(SF_DIR + "/events.parquet", columns=["value"])
+    approx = quantile_sketch(ds, "value", ps)
+    exact = duckdb.query(
+        f"SELECT quantile_disc(value, {ps}) FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    for a, e in zip(approx, exact):
+        assert abs(a - e) <= rel * abs(e) + 1e-12, (a, e)
+
+
+def test_bloom_filter_no_false_negatives_and_fpr():
+    """Bloom filter over the orders custkey column: every inserted key
+    probes True; the false-positive rate on disjoint keys stays under
+    ~2x the analytic bound; prefilter + exact verify reproduces the
+    exact anti join."""
+    import numpy as np
+
+    from neuscraper_ray.functions.sketch import bloom_build, bloom_maybe_contains
+
+    ds = ray.data.read_parquet(SF_DIR + "/orders.parquet", columns=["o_custkey"])
+    keys = ds.to_pandas()["o_custkey"].to_numpy()
+    n_bits, n_hashes = 1 << 20, 5
+    bm = bloom_build(ds, "o_custkey", n_bits=n_bits, n_hashes=n_hashes)
+    assert bloom_maybe_contains(bm, keys, n_hashes).all()  # no false negatives
+
+    probe = np.arange(10_000_000, 10_100_000, dtype=np.int64)  # disjoint
+    fp = bloom_maybe_contains(bm, probe, n_hashes).mean()
+    n_distinct = len(np.unique(keys))
+    bound = (1 - np.exp(-n_hashes * n_distinct / n_bits)) ** n_hashes
+    assert fp <= 2 * bound + 1e-4, (fp, bound)
+
+    # prefilter-then-verify == exact anti join
+    cust = np.unique(np.concatenate([keys[:500], probe[:500]]))
+    maybe = bloom_maybe_contains(bm, cust, n_hashes)
+    exact_set = set(keys.tolist())
+    verified = np.array([c in exact_set for c in cust[maybe]])
+    anti = np.concatenate([cust[~maybe], cust[maybe][~verified]])
+    want = np.array(sorted(set(cust.tolist()) - exact_set))
+    assert np.array_equal(np.sort(anti), want)
+
+
 def test_semantic_dedup_invariants():
     """SemDeDup: deterministic; every dup_of is a lower-id same-cluster
     vector with cosine >= threshold; no surviving pair within a
