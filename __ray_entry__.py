@@ -290,6 +290,14 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::BIGINT AS pii_count "
             "FROM aug"
         ),
+        "docs_normalize_text": (
+            "SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\x0c\\r]+', ' ', 'g')) "
+            "AS text_norm, "
+            "length(trim(regexp_replace(lower(text), "
+            "'[ \\t\\n\\x0b\\x0c\\r]+', ' ', 'g')))::BIGINT AS n_chars_norm "
+            "FROM documents"
+        ),
         "docs_length_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE n_chars BETWEEN 150 AND 350"

@@ -2683,6 +2683,32 @@ def docs_semantic_dedup(sf_dir: str):
     return semantic_dedup(emb, cent, threshold=0.3)
 
 
+def docs_normalize_text(sf_dir: str):
+    """Unicode-safe text canonicalization (the normalize-before-hash
+    step of every dedup recipe): lowercase, collapse whitespace runs to
+    one space, trim — entirely in ``pyarrow.compute`` kernels
+    (utf8_lower + replace_substring_regex + utf8_trim_whitespace) on
+    zero-copy Arrow buffers: no pandas conversion, no Python strings,
+    zero shuffle."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t.column("text"))
+        s = pc.replace_substring_regex(s, r"[ \t\n\x0b\x0c\r]+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text_norm": s,
+                "n_chars_norm": pc.utf8_length(s),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def events_value_quantiles_sketch(sf_dir: str):
     """One-pass approximate quantiles of the float ``value`` column via
     the mergeable mantissa-grid sketch (``functions/sketch.py`` —
@@ -3261,6 +3287,7 @@ ALL_QUERIES = {
     "embeddings_project": embeddings_project,
     "docs_length_filter": docs_length_filter,
     "docs_scrub": docs_scrub,
+    "docs_normalize_text": docs_normalize_text,
     "docs_langid": docs_langid,
     "docs_minhash_clusters": docs_minhash_clusters,
     "docs_dedup_apply": docs_dedup_apply,
