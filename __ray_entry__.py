@@ -472,6 +472,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY user_id "
             "ORDER BY sum(value) DESC, user_id LIMIT 10"
         ),
+        "q6_forecast_revenue": (
+            "SELECT coalesce(sum(round(l_extendedprice * 100)::BIGINT * "
+            "round(l_discount * 100)::BIGINT), 0)::BIGINT AS revenue_e4, "
+            "count(*)::BIGINT AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "orders_monthly_growth": (
+            "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
+            "count(*)::BIGINT AS n_orders, "
+            "sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_e2 "
+            "FROM orders GROUP BY 1) "
+            "SELECT month, n_orders, total_e2, "
+            "coalesce(((total_e2 - lag(total_e2) OVER (ORDER BY month)) "
+            "* 10000) // lag(total_e2) OVER (ORDER BY month), 0)::BIGINT "
+            "AS growth_bp FROM m"
+        ),
+        "events_top_sessions": (
+            "WITH x AS (SELECT user_id, ts, CASE WHEN "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR "
+            "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS s FROM events), "
+            "y AS (SELECT user_id, ts, sum(s) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x), "
+            "g AS (SELECT user_id, min(ts) AS session_start, "
+            "date_diff('microsecond', min(ts), max(ts))::BIGINT AS duration_us, "
+            "count(*)::BIGINT AS n_events FROM y GROUP BY user_id, sid) "
+            "SELECT user_id, session_start, duration_us, n_events FROM g "
+            "ORDER BY duration_us DESC, user_id ASC, session_start ASC LIMIT 10"
+        ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 2) AS sum_qty, "

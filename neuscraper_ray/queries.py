@@ -2683,6 +2683,152 @@ def docs_semantic_dedup(sf_dir: str):
     return semantic_dedup(emb, cent, threshold=0.3)
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-shape forecast revenue: one global sum over a
+    triple-predicate slice — the predicate-pushdown benchmark. All
+    three filters (ship year, discount band, quantity cap) ride the
+    ``read_parquet`` filter, so only matching row groups leave storage
+    and only two columns are materialized; the sum is fixed-point
+    ``round(price*100) * round(disc*100)`` (1e-4 dollars) over one
+    combiner row per batch. Zero shuffle."""
+    import pyarrow.compute as pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= pd.Timestamp("1997-01-01"))
+        & (pc.field("l_shipdate") < pd.Timestamp("1998-01-01"))
+        & (pc.field("l_discount") >= 0.05)
+        & (pc.field("l_discount") <= 0.07)
+        & (pc.field("l_quantity") < 24),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "revenue_e4": np.asarray([int((cents * dpct).sum())], dtype=np.int64),
+                "n_items": np.asarray([len(cents)], dtype=np.int64),
+            }
+        )
+
+    row = li.map_batches(partial, batch_format="pandas").aggregate(
+        Sum("revenue_e4", alias_name="revenue_e4"),
+        Sum("n_items", alias_name="n_items"),
+    )
+    row = row or {}
+    return pd.DataFrame(
+        [
+            {
+                "revenue_e4": int(row.get("revenue_e4") or 0),
+                "n_items": int(row.get("n_items") or 0),
+            }
+        ]
+    )
+
+
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth in exact basis points — the
+    time-series widen-at-output shape: per-month totals come from
+    combiner partials + a tiny groupby (|months| rows at any corpus
+    size), and the LAG window runs on the output-sized frame on the
+    driver. DuckDB's integer ``//`` TRUNCATES toward zero on signed
+    values while numpy floors, so negative growth months use the
+    explicit sign-split truncating division below to match
+    bit-for-bit."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "month": df["o_orderdate"].dt.to_period("M").dt.to_timestamp(),
+                "total_e2": np.rint(df["o_totalprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = out.groupby("month", sort=False, as_index=False).agg(
+            total_e2=("total_e2", "sum"), n_orders=("total_e2", "size")
+        )
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("month")
+        .aggregate(
+            Sum("total_e2", alias_name="total_e2"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+    df = agg.to_pandas().sort_values("month").reset_index(drop=True)
+    prev = df["total_e2"].shift()
+    growth = np.zeros(len(df), dtype=np.int64)
+    ok = prev.notna().to_numpy()
+    num = (
+        df["total_e2"].to_numpy()[ok] - prev.to_numpy()[ok].astype(np.int64)
+    ) * 10_000
+    den = prev.to_numpy()[ok].astype(np.int64)
+    growth[ok] = np.sign(num) * (np.abs(num) // den)  # truncate like DuckDB
+    df["growth_bp"] = growth
+    df["n_orders"] = df["n_orders"].astype("int64")
+    df["total_e2"] = df["total_e2"].astype("int64")
+    return df[["month", "n_orders", "total_e2", "growth_bp"]]
+
+
+def events_top_sessions(sf_dir: str):
+    """Top-10 longest sessions (30-minute-gap sessionization), the
+    composition of the streaming shape with distributed top-k: ONE
+    user co-partition, in-bucket vectorized session ids (groupby-shift
+    gap flags + cumsum), per-(user, session) aggregate, per-bucket
+    top-10 prune, driver fold of 10 x B rows."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["user_id"] % NUM_BUCKETS).astype(np.int32)
+        return df
+
+    def top_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["ts"].shift()
+        new_s = (prev.isna() | ((df["ts"] - prev) > pd.Timedelta(minutes=30))).astype(
+            np.int64
+        )
+        df["sid"] = new_s.groupby(df["user_id"], sort=False).cumsum()
+        g = df.groupby(["user_id", "sid"], sort=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+        )
+        g = g.reset_index()
+        g["duration_us"] = (
+            (g["session_end"] - g["session_start"]).dt.total_seconds() * 1_000_000
+        ).round().astype(np.int64)
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g = g.sort_values(
+            ["duration_us", "user_id", "session_start"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(10)
+        return g[["user_id", "session_start", "duration_us", "n_events"]]
+
+    cand = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(top_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values(
+            ["duration_us", "user_id", "session_start"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
 def docs_normalize_text(sf_dir: str):
     """Unicode-safe text canonicalization (the normalize-before-hash
     step of every dedup recipe): lowercase, collapse whitespace runs to
@@ -3310,6 +3456,7 @@ ALL_QUERIES = {
     "events_type_agg": events_type_agg,
     "events_hourly": events_hourly,
     "events_user_sessions": events_user_sessions,
+    "events_top_sessions": events_top_sessions,
     "events_rolling_count": events_rolling_count,
     "events_sample": events_sample,
     "events_asof_join": events_asof_join,
@@ -3342,6 +3489,8 @@ ALL_QUERIES = {
     "events_distinct_types": events_distinct_types,
     "events_top_users": events_top_users,
     "q1_pricing": q1_pricing,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "orders_monthly_growth": orders_monthly_growth,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
     "segment_order_value": segment_order_value,
