@@ -83,6 +83,7 @@ EDGE_EVENT_QUERIES = [
     "events_asof_join",
     "events_rolling_count",
     "events_user_sessions",
+    "events_top_sessions",
     "events_distinct_users_by_type",
 ]
 
