@@ -192,3 +192,91 @@ def test_propagate_min_labels_empty():
     )
     out = propagate_min_labels(ds)
     assert len(out) == 0 and list(out.columns) == ["doc_id", "cluster_id"]
+
+
+# --------------------------- sketch-primitive properties (hypothesis)
+
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_quantile_buckets_property(vals):
+    """Every finite value maps to a representative within the
+    2^(1-QS_MANT_BITS) relative bound; counts conserve; merging two
+    partials equals bucketing the concatenation (mergeability)."""
+    import numpy as np
+
+    from neuscraper_ray.functions.sketch import QS_MANT_BITS, quantile_buckets
+
+    rel = 2.0 ** (1 - QS_MANT_BITS)
+    v = np.asarray(vals, dtype=np.float64)
+    reps, counts = quantile_buckets(v)
+    assert counts.sum() == len(v)
+    # per-value bound, vectorized via the same mantissa floor
+    m, e = np.frexp(v)
+    scale = float(1 << QS_MANT_BITS)
+    b = np.where(v != 0, np.ldexp(np.trunc(m * scale) / scale, e), v)
+    assert (np.abs(b - v) <= rel * np.abs(v)).all()
+    assert set(b.tolist()) == set(reps.tolist())
+
+    # mergeability: histogram(a) + histogram(b) == histogram(a ++ b)
+    half = len(v) // 2
+    ra, ca = quantile_buckets(v[:half])
+    rb, cb = quantile_buckets(v[half:])
+    merged = {}
+    for r, c in zip(ra, ca):
+        merged[r] = merged.get(r, 0) + int(c)
+    for r, c in zip(rb, cb):
+        merged[r] = merged.get(r, 0) + int(c)
+    whole = dict(zip(quantile_buckets(v)[0].tolist(), quantile_buckets(v)[1].tolist()))
+    assert merged == whole
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=300),
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=300),
+)
+@settings(max_examples=100, deadline=None)
+def test_bloom_bits_property(inserted, probed):
+    """No false negatives ever, for arbitrary int64 keys; bitmap OR of
+    two partial builds equals the build over the union (mergeability)."""
+    import numpy as np
+
+    from neuscraper_ray.functions.sketch import _bloom_bits, bloom_maybe_contains
+
+    n_bits, n_hashes = 1 << 14, 5
+    words = n_bits // 64
+    ins = np.asarray(inserted, dtype=np.int64)
+
+    def build(keys):
+        bm = np.zeros(words, dtype=np.uint64)
+        bits = _bloom_bits(keys, n_bits, n_hashes)
+        np.bitwise_or.at(
+            bm,
+            (bits >> np.uint64(6)).ravel().astype(np.int64),
+            np.uint64(1) << (bits % np.uint64(64)).ravel(),
+        )
+        return bm
+
+    bm = build(ins)
+    assert bloom_maybe_contains(bm, ins, n_hashes).all()
+
+    half = len(ins) // 2
+    if half:
+        merged = build(ins[:half]) | build(ins[half:])
+        assert np.array_equal(merged, bm)
+
+    # probes of non-inserted keys may be True (false positive) but the
+    # function must never raise and must return one bool per key
+    pr = np.asarray(probed, dtype=np.int64)
+    out = bloom_maybe_contains(bm, pr, n_hashes)
+    assert out.shape == (len(pr),) and out.dtype == bool
