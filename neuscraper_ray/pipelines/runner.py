@@ -112,8 +112,12 @@ def main() -> None:
     args = p.parse_args()
 
     if not ray.is_initialized():
+        # `ray job submit` sets RAY_ADDRESS to the cluster it launched
+        # the job on — honor it so the job joins that cluster instead
+        # of booting a private local instance; fall back to a local
+        # session for direct CLI runs.
         ray.init(
-            address="local",
+            address=os.environ.get("RAY_ADDRESS", "local"),
             num_cpus=args.num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
