@@ -125,6 +125,7 @@ def _run_bench() -> dict:
         "q18_large_orders",
         "events_funnel",
         "docs_contamination_frac",
+        "docs_dsir_weights",
         "docs_quality_percentile",
         "docs_semantic_dedup",
         "docs_posting_lists",
