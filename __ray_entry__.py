@@ -99,6 +99,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents JOIN cum ON n_chars = v CROSS JOIN t"
         ),
         "docs_jaccard_pairs": polyhash.sql_jaccard_pairs("documents"),
+        "docs_cross_source_overlap": (
+            "WITH p AS (" + polyhash.sql_jaccard_pairs("documents") + ") "
+            "SELECT p.id_a, p.id_b, da.source AS source_a, "
+            "db.source AS source_b, p.jacc_e6 "
+            "FROM p JOIN documents da ON p.id_a = da.doc_id "
+            "JOIN documents db ON p.id_b = db.doc_id "
+            "WHERE da.source <> db.source"
+        ),
         "docs_token_quantiles": (
             "SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p, "
             "unnest(quantile_disc(n_tokens, [0.25, 0.5, 0.75, 0.9, 0.99]))::BIGINT "

@@ -311,6 +311,48 @@ def docs_jaccard_pairs(sf_dir: str):
     return jaccard_verified_pairs(ds)
 
 
+def docs_cross_source_overlap(sf_dir: str):
+    """Inter-corpus leakage report: verified near-dup pairs
+    (exact-Jaccard >= 0.5) whose two documents come from DIFFERENT
+    sources — the cross-source contamination check a multi-corpus
+    pretraining mix needs before assigning mixing weights (a duplicate
+    that exists in two sources silently doubles its weight).
+
+    Scale shape: the pair list from ``jaccard_verified_pairs`` is
+    output-sized, so sources attach by broadcasting the pair-id SET
+    and scanning documents filtered to it (never broadcasting the
+    corpus-sized doc->source map), with the final filter + merge on
+    the output-sized frame."""
+    from neuscraper_ray.functions.dedup import jaccard_verified_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = jaccard_verified_pairs(ds).to_pandas()  # output-sized
+    cols = ["id_a", "id_b", "source_a", "source_b", "jacc_e6"]
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype="object" if c.startswith("source") else "int64")
+                for c in cols
+            }
+        )
+    ids = set(pairs["id_a"].astype(int)) | set(pairs["id_b"].astype(int))
+    ids_ref = ray.put(ids)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"].isin(ray.get(ids_ref))]
+
+    src = (
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    m = dict(zip(src["doc_id"].astype(int), src["source"]))
+    pairs["source_a"] = pairs["id_a"].astype(int).map(m)
+    pairs["source_b"] = pairs["id_b"].astype(int).map(m)
+    out = pairs[pairs["source_a"] != pairs["source_b"]]
+    return out[cols].reset_index(drop=True)
+
+
 def docs_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling: per-language rates (en keeps
     1-in-2, others 1-in-10) via a polyhash gate on doc_id — zero
@@ -3440,6 +3482,7 @@ ALL_QUERIES = {
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_fingerprint": docs_fingerprint,
     "docs_jaccard_pairs": docs_jaccard_pairs,
+    "docs_cross_source_overlap": docs_cross_source_overlap,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_decontaminate": docs_decontaminate,
     "docs_contamination_frac": docs_contamination_frac,
