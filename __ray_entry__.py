@@ -427,6 +427,16 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000) // sum(rev)::HUGEINT)::BIGINT AS promo_share_ppm "
             "FROM l JOIN part ON l_partkey = p_partkey"
         ),
+        "events_daily_active_users": (
+            "WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id "
+            "FROM events), "
+            "days AS (SELECT DISTINCT day FROM du) "
+            "SELECT d.day, "
+            "(SELECT count(*) FROM du WHERE du.day = d.day)::BIGINT AS dau, "
+            "(SELECT count(DISTINCT user_id) FROM du "
+            "WHERE du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day)::BIGINT "
+            "AS dau_7d FROM days d"
+        ),
         "events_funnel": (
             "WITH v AS (SELECT user_id, min(ts) AS t FROM events "
             "WHERE event_type = 'view' GROUP BY user_id), "

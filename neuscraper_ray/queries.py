@@ -2944,6 +2944,77 @@ def docs_dsir_weights(sf_dir: str):
     return dsir_score(ds, ray.put((tgt, allc)))
 
 
+def events_daily_active_users(sf_dir: str):
+    """Daily active users + trailing-7-day distinct users. The
+    windowed DISTINCT-count shape: a 7-day rolling distinct is NOT the
+    sum of daily distincts, so the standard trick is per-user interval
+    union — each (user, day) pair covers report days [day, day+6],
+    overlapping intervals of the same user merge (cap each at the
+    user's next active day - 1), and the per-day distinct-user count
+    is the running sum of +1/-1 interval endpoints.
+
+    Scale shape: ONE user co-partition; in-bucket the (user, day)
+    dedup is global and the interval caps come from one vectorized
+    groupby-shift; each bucket emits per-day (dau, delta) partials
+    (|days| rows — corpus-size independent); the driver cumsums the
+    |days|-sized frame."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "day": df["ts"].dt.floor("D"),
+            }
+        )
+        out["bucket"] = (out["user_id"] % NUM_BUCKETS).astype(np.int32)
+        return out
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        du = df[["user_id", "day"]].drop_duplicates().sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        dau = du.groupby("day", sort=False).size().reset_index(name="dau")
+        nxt = du.groupby("user_id", sort=False)["day"].shift(-1)
+        end = du["day"] + pd.Timedelta(days=6)
+        capped = np.minimum(
+            end.to_numpy(), (nxt - pd.Timedelta(days=1)).fillna(end).to_numpy()
+        )
+        plus = pd.DataFrame({"day": du["day"].to_numpy(), "delta": 1})
+        minus = pd.DataFrame(
+            {"day": capped + np.timedelta64(1, "D"), "delta": -1}
+        )
+        deltas = (
+            pd.concat([plus, minus])
+            .groupby("day", sort=False, as_index=False)["delta"]
+            .sum()
+        )
+        out = deltas.merge(dau, on="day", how="outer")
+        out["delta"] = out["delta"].fillna(0).astype(np.int64)
+        out["dau"] = out["dau"].fillna(0).astype(np.int64)
+        return out
+
+    agg = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(partials, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("dau", alias_name="dau"), Sum("delta", alias_name="delta"))
+    )
+    df = agg.to_pandas().sort_values("day").reset_index(drop=True)
+    # running interval-coverage sum over the FULL calendar range, then
+    # report only observed days (the SQL twin's `days` domain)
+    full = pd.DataFrame(
+        {"day": pd.date_range(df["day"].min(), df["day"].max(), freq="D")}
+    )
+    full = full.merge(df[["day", "delta"]], on="day", how="left")
+    full["dau_7d"] = full["delta"].fillna(0).cumsum().astype(np.int64)
+    observed = df[df["dau"] > 0][["day", "dau"]]
+    out = observed.merge(full[["day", "dau_7d"]], on="day")
+    out["dau"] = out["dau"].astype("int64")
+    return out[["day", "dau", "dau_7d"]]
+
+
 def events_funnel(sf_dir: str):
     """Ordered conversion funnel (view -> later click -> later
     purchase): how many users reach each stage, where each stage must
@@ -3521,6 +3592,7 @@ ALL_QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "events_funnel": events_funnel,
+    "events_daily_active_users": events_daily_active_users,
     "orders_retention_cohort": orders_retention_cohort,
     "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
     "docs_sample_per_lang": docs_sample_per_lang,
