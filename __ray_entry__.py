@@ -427,6 +427,14 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000) // sum(rev)::HUGEINT)::BIGINT AS promo_share_ppm "
             "FROM l JOIN part ON l_partkey = p_partkey"
         ),
+        "events_type_transitions": (
+            "WITH x AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev_type FROM events) "
+            "SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n "
+            "FROM x WHERE prev_type IS NOT NULL "
+            "GROUP BY prev_type, next_type"
+        ),
         "events_daily_active_users": (
             "WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id "
             "FROM events), "

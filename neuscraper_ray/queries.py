@@ -2944,6 +2944,47 @@ def docs_dsir_weights(sf_dir: str):
     return dsir_score(ds, ray.put((tgt, allc)))
 
 
+def events_type_transitions(sf_dir: str):
+    """Per-user event-type transition matrix (the Markov-chain /
+    behavioral-bigram shape): counts of consecutive (prev_type ->
+    next_type) pairs within each user's time-ordered stream, with
+    same-timestamp ties broken on event_id so both engines see the
+    same order.
+
+    Scale shape: ONE user co-partition; in-bucket the ordering sort
+    and the lag are one vectorized groupby-shift; each bucket emits
+    |types|^2 count partials; the final groupby folds 25 rows per
+    bucket."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["user_id"] % NUM_BUCKETS).astype(np.int32)
+        return df
+
+    def trans_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["event_type"].shift()
+        out = pd.DataFrame(
+            {"prev_type": prev, "next_type": df["event_type"]}
+        ).dropna()
+        return (
+            out.groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    agg = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(trans_bucket, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df[["prev_type", "next_type", "n"]]
+
+
 def events_daily_active_users(sf_dir: str):
     """Daily active users + trailing-7-day distinct users. The
     windowed DISTINCT-count shape: a 7-day rolling distinct is NOT the
@@ -3593,6 +3634,7 @@ ALL_QUERIES = {
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "events_funnel": events_funnel,
     "events_daily_active_users": events_daily_active_users,
+    "events_type_transitions": events_type_transitions,
     "orders_retention_cohort": orders_retention_cohort,
     "docs_cms_heavy_hitters": docs_cms_heavy_hitters,
     "docs_sample_per_lang": docs_sample_per_lang,

@@ -80,6 +80,7 @@ def test_all_queries_run_at_smallest_scale():
 EDGE_EVENT_QUERIES = [
     "events_funnel",
     "events_daily_active_users",
+    "events_type_transitions",
     "events_purchase_view_window",
     "events_asof_join",
     "events_rolling_count",
