@@ -650,3 +650,48 @@ def test_projection_signs_mixed_and_exact():
         (np.asarray(out1["vec_id"]) == 0) & (np.asarray(out1["k"]) == 3)
     ).column("comp")[0].as_py()
     assert got == want
+
+
+def test_dsir_empty_target_and_degenerate_docs():
+    """DSIR: a corpus whose target slice is empty scores every doc 0
+    (nothing sampled); docs with < 2 words have no bigrams and score 0;
+    counts fold correctly across batches."""
+    import numpy as np
+
+    import ray as _ray
+    from neuscraper_ray.functions.dsir import NB, dsir_counts, dsir_score
+
+    texts = ["", "solo", "a b c a b c", "x y z w", "a b c a b c"]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(1, 6), "text": texts})
+    ).repartition(3)
+
+    tgt, allc = dsir_counts(ds, lambda t: np.zeros(t.num_rows, dtype=bool))
+    assert tgt.sum() == 0
+    assert allc.sum() == 5 + 3 + 5  # bigram occurrences of docs 3,4,5
+    assert len(tgt) == len(allc) == NB
+
+    out = (
+        dsir_score(ds, _ray.put((tgt, allc)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["score_ppm"] == 0).all() and not out["sampled"].any()
+    assert out["n_bigrams"].tolist() == [0, 0, 5, 3, 5]
+
+    # with docs 3 and 5 (identical) as the target, doc 4 shares no
+    # bigram buckets (disjoint vocab) -> score 0; docs 3/5 score 1e6
+    def is_t(t):
+        ids = t.column("doc_id").to_numpy()
+        return (ids == 3) | (ids == 5)
+
+    tgt2, all2 = dsir_counts(ds, is_t)
+    out2 = (
+        dsir_score(ds, _ray.put((tgt2, all2)))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out2.loc[4, "score_ppm"] == 0
+    assert out2.loc[3, "score_ppm"] == 1_000_000
+    assert out2.loc[5, "score_ppm"] == 1_000_000
