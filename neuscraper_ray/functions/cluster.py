@@ -5,7 +5,9 @@ one streaming pass — centroids broadcast via ``ray.put``, every batch
 emits k partial rows (per-centroid vector sum + count + inertia), and
 the driver folds the partials (k x n_batches rows, corpus-size
 independent) into the next centroid set. No shuffle at all; the
-dataset is never materialized; cost is exactly ``iters`` passes.
+input is materialized once (object-store blocks, spilling under
+pressure) so the ``iters`` passes re-read blocks rather than
+re-running the upstream scan each iteration.
 
 Deterministic: fixed seed picks the initial centroids from the first
 block, fixed iteration count, and the driver fold sorts the partial
@@ -26,7 +28,12 @@ import ray.data
 
 
 def _stack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    return np.stack(col.to_pylist()).astype(np.float64)
+    # zero-copy values-buffer reshape (shared with ann._stack) — the
+    # to_pylist() -> np.stack round trip paid an avoidable Python
+    # object conversion per batch.
+    from neuscraper_ray.functions.ann import _stack as _ann_stack
+
+    return _ann_stack(col, dtype=np.float64)
 
 
 def kmeans_fit(
@@ -36,7 +43,16 @@ def kmeans_fit(
     vec_col: str = "embedding",
     seed: int = 3,
 ) -> tuple[np.ndarray, float]:
-    """-> (centroids (k, d) float64, final inertia). Euclidean k-means."""
+    """-> (centroids (k, d) float64, final inertia). Euclidean k-means.
+
+    The input is materialized ONCE up front (object store, spills to
+    disk under pressure) so the ``iters`` streaming passes re-read
+    blocks instead of re-running the parquet scan + upstream transforms
+    every iteration — at 10 iters that was 10 full scans."""
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(ds, MaterializedDataset):
+        ds = ds.materialize()
     head = ds.limit(max(k * 20, 256)).to_pandas()
     m0 = np.stack(head[vec_col].to_numpy()).astype(np.float64)
     rng = np.random.RandomState(seed)
@@ -122,8 +138,11 @@ def semantic_dedup(
     embedding to its nearest k-means centroid, then WITHIN each cluster
     mark every vector that has a lower-id neighbor with cosine
     similarity >= threshold as a semantic duplicate of the smallest
-    such neighbor. -> (vec_id, cluster, is_dup, dup_of) where dup_of
-    is -1 for survivors.
+    such neighbor. -> (vec_id, cluster, is_dup, dup_of, dup_sim_ppm)
+    where dup_of is -1 and dup_sim_ppm is -1 for survivors;
+    dup_sim_ppm is the EXACT cosine similarity to dup_of in parts per
+    million (floor), so the rows-only query is self-auditing the same
+    way the ANN queries emit recall@10.
 
     Scale shape: centroids broadcast via ``ray.put`` (zero-shuffle
     assignment fused into the widen pass); exactly ONE all-to-all
@@ -167,12 +186,17 @@ def semantic_dedup(
         has_dup = hit.any(axis=1)
         first_j = hit.argmax(axis=1)  # first True per row (valid where has_dup)
         dup_of = np.where(has_dup, ids[first_j], -1).astype(np.int64)
+        sim_to = sim[np.arange(n), first_j]
+        dup_sim_ppm = np.where(
+            has_dup, np.floor(sim_to * 1_000_000), -1
+        ).astype(np.int64)
         return pa.table(
             {
                 "vec_id": ids.astype(np.int64),
                 "cluster": t.column("cluster").to_numpy()[order].astype(np.int64),
                 "is_dup": has_dup,
                 "dup_of": dup_of,
+                "dup_sim_ppm": dup_sim_ppm,
             }
         )
 

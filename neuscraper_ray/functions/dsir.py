@@ -113,7 +113,20 @@ def dsir_score(
             np.add.at(nb, bdoc, 1)
             np.add.at(st, bdoc, tgt[b])
             np.add.at(ss, bdoc, allc[b])
-        score_ppm = np.where(ss > 0, (st * 1_000_000) // np.maximum(ss, 1), 0)
+        # int64 bound: st*1e6 must not wrap (numpy wraps silently).
+        # st <= doc_bigrams * max-bucket-count, so the documented
+        # doc_bigrams*target_bigrams < 9.2e12 bound is enforced here at
+        # runtime; past it, fall back to exact Python-int division.
+        if len(st) and int(st.max()) >= 2**63 // 1_000_000:
+            score_ppm = np.array(
+                [int(a) * 1_000_000 // int(b_) if b_ > 0 else 0
+                 for a, b_ in zip(st.tolist(), ss.tolist())],
+                dtype=np.int64,
+            )
+        else:
+            score_ppm = np.where(
+                ss > 0, (st * 1_000_000) // np.maximum(ss, 1), 0
+            )
         fp = ph.int_fingerprints(ids)
         sampled = (fp % np.uint64(1_000_000)).astype(np.int64) < score_ppm
         return pa.table(

@@ -201,11 +201,11 @@ def quantile_buckets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     the sketch is defined over finite values, like SQL quantiles)."""
     v = np.asarray(values, dtype=np.float64)
     v = v[np.isfinite(v)]
-    finite = v != 0
+    nonzero = v != 0  # zero has no mantissa bucket; keep it verbatim
     m, e = np.frexp(v)
     scale = float(1 << QS_MANT_BITS)
     mq = np.trunc(m * scale) / scale  # toward zero: floor on |mantissa|
-    b = np.where(finite, np.ldexp(mq, e), v)
+    b = np.where(nonzero, np.ldexp(mq, e), v)
     reps, counts = np.unique(b, return_counts=True)
     return reps, counts.astype(np.int64)
 

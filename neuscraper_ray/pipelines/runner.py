@@ -116,11 +116,24 @@ def main() -> None:
         # the job on — honor it so the job joins that cluster instead
         # of booting a private local instance; fall back to a local
         # session for direct CLI runs.
+        # num_cpus is only legal when booting a new local instance —
+        # passing it while joining an existing cluster makes ray.init
+        # raise, so either forward it to a local session or fail fast.
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {}
+        if address == "local":
+            kwargs["num_cpus"] = args.num_cpus
+        elif args.num_cpus is not None:
+            p.error(
+                "--num-cpus only applies to a new local Ray instance; "
+                f"RAY_ADDRESS={address!r} joins an existing cluster "
+                "(size it with the cluster launcher instead)"
+            )
         ray.init(
-            address=os.environ.get("RAY_ADDRESS", "local"),
-            num_cpus=args.num_cpus,
+            address=address,
             include_dashboard=False,
             logging_level="ERROR",
+            **kwargs,
         )
     ray.data.DataContext.get_current().enable_progress_bars = False
     import time

@@ -1096,10 +1096,14 @@ def events_sample(sf_dir: str):
     checkable), the kept SET is engine-independent — the DuckDB oracle
     reproduces it exactly (``sql_fingerprint(event_id::VARCHAR)``).
     Hash-sampling is also the scale-correct semantics: it streams with
-    zero shuffle and re-runs pick the same rows, with the gate one
-    vectorized ``int_fingerprints`` pass (no per-row digest loop). The
-    ``random_shuffle(seed=7)`` stays to exercise the seeded shuffle
-    operator; the driver compare is order-insensitive."""
+    ZERO shuffle and re-runs pick the same rows, with the gate one
+    vectorized ``int_fingerprints`` pass (no per-row digest loop).
+    The O4 seeded ``random_shuffle`` operator is exercised in
+    ``tests/test_sources_warc.py`` (fixed-seed permutation pinned
+    deterministic) instead of here — the kept set is a pure function
+    of ``event_id``,
+    so an all-to-all bought only for demonstration would be a
+    scale-killer at 10^12 rows."""
     from neuscraper_ray.functions.polyhash import int_fingerprints
 
     ds = _read(sf_dir, "events", ["event_id", "event_type"])
@@ -1108,7 +1112,7 @@ def events_sample(sf_dir: str):
         h = int_fingerprints(df["event_id"].to_numpy())
         return df[h % 20 == 0]
 
-    return ds.random_shuffle(seed=7).map_batches(keep, batch_format="pandas")
+    return ds.map_batches(keep, batch_format="pandas")
 
 
 def events_asof_join(sf_dir: str):
@@ -1204,7 +1208,7 @@ def embeddings_kmeans(sf_dir: str):
     tests/test_functions.py."""
     from neuscraper_ray.functions.cluster import kmeans_assign, kmeans_fit
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     cent, _ = kmeans_fit(ds, k=8, iters=5)
     return kmeans_assign(ds, cent).select_columns(["vec_id", "cluster"])
 
@@ -2715,13 +2719,24 @@ def docs_quality_percentile(sf_dir: str):
 def docs_semantic_dedup(sf_dir: str):
     """SemDeDup over the embeddings table: k-means coarse clusters,
     then in-cluster cosine near-dup marking (first-wins by vec_id).
-    Rows-only: k-means is an iterative fixpoint with no SQL oracle;
-    determinism and the no-surviving-near-pair invariant are pinned in
-    tests/test_functions.py."""
+    k GROWS with the corpus (the paper's own recipe: hold n/k — the
+    in-cluster |c|^2 similarity block — at ~TARGET_CLUSTER rows) so
+    the operator's memory bound is corpus-size independent. The
+    embeddings are materialized ONCE and shared by the k-means passes
+    and the dedup pass. Rows-only: k-means is an iterative fixpoint
+    with no SQL oracle; determinism and the no-surviving-near-pair
+    invariant are pinned in tests/test_functions.py, and every dup row
+    carries dup_sim_ppm (exact cosine to dup_of) so the output is
+    self-auditing."""
+    import pyarrow.parquet as _pq
+
     from neuscraper_ray.functions.cluster import kmeans_fit, semantic_dedup
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cent, _ = kmeans_fit(emb, k=8, iters=5)
+    TARGET_CLUSTER = 512  # ~512^2 float64 sims = 2 MB per group
+    n = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    k = max(8, n // TARGET_CLUSTER)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cent, _ = kmeans_fit(emb, k=k, iters=5)
     return semantic_dedup(emb, cent, threshold=0.3)
 
 
