@@ -100,7 +100,11 @@ def assemble_pages(
     )
 
 
-def filter_chain(docs: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray.data.Dataset:
+def filter_chain(
+    docs: ray.data.Dataset,
+    cfg: CurateConfig | None = None,
+    with_content_hash: bool = False,
+) -> ray.data.Dataset:
     """assembled docs -> +lang_pred +ppl +quality_flags +scrub +keep.
 
     Hand-fused into ONE stateless operator (see
@@ -108,6 +112,8 @@ def filter_chain(docs: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray
     cheap per row, so separate operators would only add executor
     startup/queue cost. The LM table is broadcast once per driver
     (``ray.put`` cached) and fetched zero-copy per worker.
+    ``with_content_hash`` additionally emits the md5 ``content_hash``
+    column in the same pass (the mark_duplicates feed).
     """
     cfg = cfg or CurateConfig()
     from neuscraper_ray.stages.langid import get_langid_ref
@@ -118,7 +124,11 @@ def filter_chain(docs: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray
         filters_fused_batch,
         batch_format="pandas",
         batch_size=None,
-        fn_kwargs={"table_ref": get_table_ref(), "langid_ref": get_langid_ref()},
+        fn_kwargs={
+            "table_ref": get_table_ref(),
+            "langid_ref": get_langid_ref(),
+            "with_content_hash": with_content_hash,
+        },
     )
 
 
@@ -139,11 +149,14 @@ def curate(pages: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray.data
         nodes = extract_nodes(pages, cfg)
         preds = score_nodes(nodes, cfg)
         docs = assemble_pages(preds, cfg)
-    out = filter_chain(docs, cfg)
+    out = filter_chain(docs, cfg, with_content_hash=cfg.mark_duplicates)
     if cfg.mark_duplicates:
         from neuscraper_ray.stages.dedup_mark import mark_duplicates
 
         # curated docs are a small fraction of the input bytes; pin them
-        # so the hash projection doesn't re-run the whole upstream DAG
-        out = mark_duplicates(out.materialize())
+        # so the hash projection doesn't re-run the whole upstream DAG.
+        # content_hash was computed IN the filter pass above, so the
+        # projection is a column select and the mark a vectorized map —
+        # the corpus is md5-hashed exactly once end to end.
+        out = mark_duplicates(out.materialize(), hash_col="content_hash")
     return out

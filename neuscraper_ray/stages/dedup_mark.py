@@ -1,7 +1,7 @@
 """Exact-duplicate marking for the flagship pipeline (dedup-adjacent
 stage per the north rule).
 
-Two-pass, shuffle-minimal design:
+Shuffle-minimal design:
 1. a (content_hash, url) PROJECTION of the curated docs — never the
    text — is hash-grouped to find groups with >1 url and their
    canonical (min) url;
@@ -9,8 +9,16 @@ Two-pass, shuffle-minimal design:
    fraction of any real corpus) is broadcast via ``ray.put`` and each
    batch marks ``dup_of`` locally.
 
-The all-to-all exchange therefore moves 16-byte hashes + urls, and the
-document table itself is touched in place. At extreme duplicate rates
+When the caller already carries a ``content_hash`` column (the curate
+pipeline computes it inside ``filters_fused_batch``, where the docs
+stream through anyway), pass ``hash_col`` and the corpus is NEVER
+re-hashed: the projection is a pure column select and the mark pass is
+one vectorized pandas ``.map``. Without ``hash_col`` the md5 is
+computed here (a per-row hashlib loop — no vectorized md5 exists; the
+md5 choice is load-bearing for the DuckDB ``md5()`` oracle).
+
+The all-to-all exchange moves 16-byte hashes + urls, and the document
+table itself is touched in place. At extreme duplicate rates
 (canonical map too big to broadcast) marking switches automatically
 to a single content-hash-bucketed shuffle of the doc rows, in which
 each bucket decides its groups locally — no canonical index exists
@@ -30,28 +38,42 @@ import ray
 import ray.data
 
 
+def _md5_hex(texts: list) -> list[str]:
+    md5 = hashlib.md5
+    return [md5(t.encode("utf-8")).hexdigest() if t else "" for t in texts]
+
+
 def _hash_batch(batch: pa.Table, column: str) -> pa.Table:
-    hs = [
-        hashlib.md5(t.encode("utf-8")).hexdigest() if t else ""
-        for t in batch.column(column).to_pylist()
-    ]
     return pa.table(
-        {"content_hash": pa.array(hs, pa.string()), "url": batch.column("url")}
+        {
+            "content_hash": pa.array(
+                _md5_hex(batch.column(column).to_pylist()), pa.string()
+            ),
+            "url": batch.column("url"),
+        }
     )
 
 
 def canonical_dups(
-    docs: ray.data.Dataset, column: str = "extracted_text"
+    docs: ray.data.Dataset,
+    column: str = "extracted_text",
+    hash_col: str | None = None,
 ) -> ray.data.Dataset:
     """-> Dataset(content_hash, canonical_url) for groups with >=2
     members — the duplicate-group index, still distributed.
 
     Empty texts are excluded (every empty page would otherwise form one
-    giant duplicate group).
+    giant duplicate group). With ``hash_col`` the projection is a pure
+    column select (no md5 pass over the corpus).
     """
-    proj = docs.map_batches(
-        lambda t: _hash_batch(t, column), batch_format="pyarrow", batch_size=None
-    )
+    if hash_col is not None:
+        proj = docs.select_columns([hash_col, "url"])
+        if hash_col != "content_hash":
+            proj = proj.rename_columns({hash_col: "content_hash"})
+    else:
+        proj = docs.map_batches(
+            lambda t: _hash_batch(t, column), batch_format="pyarrow", batch_size=None
+        )
 
     def dup_groups(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["content_hash"] != ""]
@@ -77,10 +99,12 @@ def canonical_dups(
 
 
 def build_canonical_map(
-    docs: ray.data.Dataset, column: str = "extracted_text"
+    docs: ray.data.Dataset,
+    column: str = "extracted_text",
+    hash_col: str | None = None,
 ) -> dict[str, str]:
     """Driver-side {content_hash: canonical_url} (the broadcast path)."""
-    dup = canonical_dups(docs, column).to_pandas()
+    dup = canonical_dups(docs, column, hash_col=hash_col).to_pandas()
     return dict(zip(dup["content_hash"], dup["canonical_url"]))
 
 
@@ -94,11 +118,14 @@ def mark_duplicates(
     docs: ray.data.Dataset,
     column: str = "extracted_text",
     broadcast_limit: int = BROADCAST_CANON_LIMIT,
+    hash_col: str | None = None,
 ) -> ray.data.Dataset:
     """Append ``dup_of``: canonical url for non-canonical exact dups,
     "" otherwise. Two passes over ``docs`` (it is re-executed for the
     projection; pass a materialized/checkpointed dataset when upstream
-    is expensive).
+    is expensive). With ``hash_col`` both passes reuse the precomputed
+    hashes: the projection is a column select and the mark is a
+    vectorized map — zero md5 work here.
 
     Size switch: at or below ``broadcast_limit`` duplicate groups the
     canonical map ships once via ``ray.put`` and every batch marks
@@ -107,14 +134,24 @@ def mark_duplicates(
     bucket marks its groups locally (min-url canonical) — the honest
     all-to-all cost when the dup index itself is cluster-sized, with
     no index built at all."""
-    canon_ds = canonical_dups(docs, column).materialize()
+    canon_ds = canonical_dups(docs, column, hash_col=hash_col).materialize()
     if canon_ds.count() <= broadcast_limit:
         canon = dict(
             zip(*(canon_ds.to_pandas()[c] for c in ("content_hash", "canonical_url")))
         )
         canon_ref = ray.put(canon)
 
-        def mark(batch: pa.Table) -> pa.Table:
+        if hash_col is not None:
+
+            def mark(df: pd.DataFrame) -> pd.DataFrame:
+                cmap = ray.get(canon_ref)
+                c = df[hash_col].map(cmap).fillna("")
+                df["dup_of"] = c.where((c != df["url"]) & (df[hash_col] != ""), "")
+                return df
+
+            return docs.map_batches(mark, batch_format="pandas", batch_size=None)
+
+        def mark_arrow(batch: pa.Table) -> pa.Table:
             cmap = ray.get(canon_ref)
             texts = batch.column(column).to_pylist()
             urls = batch.column("url").to_pylist()
@@ -127,30 +164,28 @@ def mark_duplicates(
                 dup_of.append("" if c in ("", u) else c)
             return batch.append_column("dup_of", pa.array(dup_of, pa.string()))
 
-        return docs.map_batches(mark, batch_format="pyarrow", batch_size=None)
+        return docs.map_batches(mark_arrow, batch_format="pyarrow", batch_size=None)
 
     from neuscraper_ray.config import NUM_BUCKETS
 
     out_cols = list(docs.schema().names) + ["dup_of"]
+    effective_hash = hash_col or "content_hash"
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         from neuscraper_ray.functions.joins import str_buckets
 
-        hs = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() if t else ""
-            for t in df[column].tolist()
-        ]
-        df["content_hash"] = hs
-        df["hbucket"] = str_buckets(hs, NUM_BUCKETS)
+        if hash_col is None:
+            df["content_hash"] = _md5_hex(df[column].tolist())
+        df["hbucket"] = str_buckets(df[effective_hash].tolist(), NUM_BUCKETS)
         return df
 
     def mark_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # every member of a content-hash group lands in this bucket, so
         # canonical (min url) and membership are decidable locally
         dup_of = pd.Series("", index=df.index, dtype=object)
-        ne = df[df["content_hash"] != ""]
+        ne = df[df[effective_hash] != ""]
         if len(ne):
-            g = ne.groupby("content_hash", sort=False)["url"]
+            g = ne.groupby(effective_hash, sort=False)["url"]
             cmin = g.transform("min")
             csize = g.transform("size")
             hit = (csize > 1) & (ne["url"] != cmin)

@@ -43,13 +43,19 @@ def filters_fused_batch(
     ppl_threshold: float = PPL_THRESHOLD,
     table_ref=None,
     langid_ref=None,
+    with_content_hash: bool = False,
 ) -> pd.DataFrame:
     """All five filter stages in one batch fn => ONE Ray operator.
 
     Identical semantics to chaining langid -> perplexity -> heuristics
     -> scrub -> verdict_batch; fusing them by hand removes four
     per-operator startup/queue costs from the streaming executor (they
-    are cheap per-row, so there is no parallelism lost)."""
+    are cheap per-row, so there is no parallelism lost).
+
+    ``with_content_hash=True`` additionally emits ``content_hash``
+    (md5 hex of extracted_text, "" for empty) so a downstream
+    ``mark_duplicates`` never re-hashes the corpus — the docs already
+    stream through this pass, so the md5 loop is paid exactly once."""
     from neuscraper_ray.stages.heuristics import heuristics_batch
     from neuscraper_ray.stages.langid import langid_batch
     from neuscraper_ray.stages.perplexity import perplexity_batch
@@ -59,7 +65,16 @@ def filters_fused_batch(
     df = perplexity_batch(df, table_ref=table_ref)
     df = heuristics_batch(df)
     df = scrub_batch(df)
-    return verdict_batch(df, ppl_threshold)
+    df = verdict_batch(df, ppl_threshold)
+    if with_content_hash:
+        import hashlib
+
+        md5 = hashlib.md5
+        df["content_hash"] = [
+            md5(t.encode("utf-8")).hexdigest() if t else ""
+            for t in df["extracted_text"].tolist()
+        ]
+    return df
 
 
 def verdict_batch(df: pd.DataFrame, ppl_threshold: float = PPL_THRESHOLD) -> pd.DataFrame:

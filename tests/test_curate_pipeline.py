@@ -125,6 +125,40 @@ def test_mark_duplicates_join_fallback_matches_broadcast(pages_table):
     assert (bc["dup_of"] != "").any()
 
 
+def test_mark_duplicates_hash_col_paths_match_recompute(pages_table):
+    """The precomputed-hash fast paths (hash_col=..., broadcast AND
+    bucketed) must mark exactly the same dup_of as the md5-recompute
+    path."""
+    from neuscraper_ray.pipelines.curate import curate, filter_chain, assemble_pages
+    from neuscraper_ray.stages.dedup_mark import mark_duplicates
+    from neuscraper_ray.stages.scorer import extract_score_batch
+
+    ds = ray.data.from_arrow(pages_table).repartition(8)
+    cfg = CurateConfig(num_buckets=16)
+    preds = ds.map_batches(
+        extract_score_batch,
+        batch_format="pyarrow",
+        batch_size=cfg.parse_batch_size,
+        fn_kwargs={"num_buckets": cfg.num_buckets},
+    )
+    docs = filter_chain(
+        assemble_pages(preds, cfg, has_bucket=True), cfg, with_content_hash=True
+    ).materialize()
+
+    def dup_series(out):
+        df = out.to_pandas().sort_values("url").reset_index(drop=True)
+        return df["dup_of"]
+
+    base = dup_series(mark_duplicates(docs))  # md5 recompute, broadcast
+    fast_bc = dup_series(mark_duplicates(docs, hash_col="content_hash"))
+    fast_bk = dup_series(
+        mark_duplicates(docs, hash_col="content_hash", broadcast_limit=0)
+    )
+    pd.testing.assert_series_equal(base, fast_bc)
+    pd.testing.assert_series_equal(base, fast_bk)
+    assert (base != "").any()
+
+
 def test_actor_pool_scorer_path_matches_oracle(pages_table, oracle_df):
     """The non-fused variant (separate NodeScorer actor pool over node
     rows — the GPU-model shape) must produce identical output."""
