@@ -92,11 +92,15 @@ def _run_bench() -> dict:
     # is a measured number, not an unbenchmarked config flag
     mark_sec = None
     if os.environ.get("NEUSCRAPER_BENCH_QUERIES", "1") != "0":
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.sync()
-        t0 = time.perf_counter()
-        curate(read_pages(), CurateConfig(num_buckets=128, mark_duplicates=True)).write_parquet(out_dir)
-        mark_sec = round(time.perf_counter() - t0, 3)
+        mark_sec = float("inf")
+        for _trial in range(2):  # best-of-2, same methodology as headline
+            shutil.rmtree(out_dir, ignore_errors=True)
+            os.sync()
+            t0 = time.perf_counter()
+            curate(
+                read_pages(), CurateConfig(num_buckets=128, mark_duplicates=True)
+            ).write_parquet(out_dir)
+            mark_sec = round(min(mark_sec, time.perf_counter() - t0), 3)
 
     # ---------- representative operator queries over the sf tables ----------
     bench_queries = [

@@ -57,9 +57,14 @@ VOID_TAGS = frozenset(
 
 
 class Element:
-    """One DOM element. ``children`` holds Elements and raw strings."""
+    """One DOM element. ``children`` holds Elements and raw strings.
 
-    __slots__ = ("tag", "parent", "children", "node_id", "instrument")
+    ``has_str`` is maintained by the parser (set when a string child is
+    appended) so ``instrument`` can skip the per-child type scan on the
+    common all-element case; after wrapping, it is True only for
+    ``span`` elements that legitimately keep bare strings."""
+
+    __slots__ = ("tag", "parent", "children", "node_id", "instrument", "has_str")
 
     def __init__(self, tag: str, parent: "Element | None" = None, instrument: bool = False):
         self.tag = tag
@@ -67,6 +72,7 @@ class Element:
         self.children: list[Element | str] = []
         self.node_id: int | None = None
         self.instrument = instrument
+        self.has_str = False
 
     def __repr__(self) -> str:  # pragma: no cover - debugging aid
         return f"<{self.tag} id={self.node_id} n_children={len(self.children)}>"
@@ -105,7 +111,9 @@ class _DomBuilder(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         if data:
-            self._stack[-1].children.append(data)
+            top = self._stack[-1]
+            top.children.append(data)
+            top.has_str = True
 
     # comments / doctype / processing instructions are dropped; the
     # synthetic corpus does not emit them (documented divergence from
@@ -142,30 +150,45 @@ def parse_html(html: str) -> Element:
     i = 0
     n = len(html)
     find = html.find
+    name_match = _NAME_RE.match
+    unescape = _unescape
+    El = Element
+    el_new = Element.__new__
     while i < n:
         lt = find("<", i)
         if lt == -1:
-            stack[-1].children.append(_unescape(html[i:]))
+            top = stack[-1]
+            top.children.append(unescape(html[i:]))
+            top.has_str = True
             break
         if lt > i:
-            stack[-1].children.append(_unescape(html[i:lt]))
-        if html.startswith("<!--", lt):
-            end = find("-->", lt + 4)
-            i = n if end == -1 else end + 3
-            continue
-        nxt = html[lt + 1 : lt + 2]
-        if nxt in ("!", "?"):
-            end = find(">", lt)
-            i = n if end == -1 else end + 1
+            top = stack[-1]
+            top.children.append(unescape(html[i:lt]))
+            top.has_str = True
+        if lt + 1 == n:  # trailing bare '<': kept as raw text
+            top = stack[-1]
+            top.children.append(html[lt:])
+            top.has_str = True
+            break
+        nxt = html[lt + 1]
+        if nxt == "!" or nxt == "?":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                i = n if end == -1 else end + 3
+            else:
+                end = find(">", lt)
+                i = n if end == -1 else end + 1
             continue
         gt = find(">", lt)
         if gt == -1:
-            stack[-1].children.append(html[lt:])
+            top = stack[-1]
+            top.children.append(html[lt:])
+            top.has_str = True
             break
         i = gt + 1
         # match names in place on the big string — no per-tag body slice
-        if html[lt + 1] == "/":  # gt > lt guarantees lt+1 in range
-            m = _NAME_RE.match(html, lt + 2, gt)
+        if nxt == "/":
+            m = name_match(html, lt + 2, gt)
             if m:
                 name = m.group(0).lower()
                 for k in range(len(stack) - 1, 0, -1):
@@ -173,33 +196,45 @@ def parse_html(html: str) -> Element:
                         del stack[k:]
                         break
             continue
-        m = _NAME_RE.match(html, lt + 1, gt)
+        m = name_match(html, lt + 1, gt)
         if not m:
             # '<' followed by junk: html.parser treats it as text-ish;
             # we drop it (deterministic; absent from the corpus)
             continue
         name = m.group(0).lower()
-        el = Element(name, stack[-1])
-        stack[-1].children.append(el)
-        if name in RAWTEXT_TAGS:
-            mm = _RAW_CLOSE[name].search(html, i)
-            close = mm.start() if mm else -1
-            if close == -1:
-                if i < n:
-                    el.children.append(html[i:])
-                break
-            if close > i:
-                el.children.append(html[i:close])  # raw, no unescape
-            gt2 = find(">", close)
-            i = n if gt2 == -1 else gt2 + 1
-        elif name not in VOID_TAGS:
-            # self-closing check, whitespace-tolerant ("<br />"), in
-            # place; str.isspace matches what body.rstrip() stripped
-            j = gt - 1
-            while j > lt and html[j].isspace():
-                j -= 1
-            if html[j] != "/" or j <= lt:
-                stack.append(el)
+        # inlined Element(...) — ~190k constructions per 2k pages make
+        # the call overhead itself measurable in the parse hot loop
+        top = stack[-1]
+        el = el_new(El)
+        el.tag = name
+        el.parent = top
+        el.children = []
+        el.node_id = None
+        el.instrument = False
+        el.has_str = False
+        top.children.append(el)
+        if name not in VOID_TAGS:
+            if name in RAWTEXT_TAGS:
+                mm = _RAW_CLOSE[name].search(html, i)
+                close = mm.start() if mm else -1
+                if close == -1:
+                    if i < n:
+                        el.children.append(html[i:])
+                        el.has_str = True
+                    break
+                if close > i:
+                    el.children.append(html[i:close])  # raw, no unescape
+                    el.has_str = True
+                gt2 = find(">", close)
+                i = n if gt2 == -1 else gt2 + 1
+            else:
+                # self-closing check, whitespace-tolerant ("<br />"), in
+                # place; str.isspace matches what body.rstrip() stripped
+                j = gt - 1
+                while j > lt and html[j].isspace():
+                    j -= 1
+                if html[j] != "/" or j <= lt:
+                    stack.append(el)
     return root
 
 
@@ -232,12 +267,14 @@ def instrument(doc: Element) -> int:
         node = stack.pop()
         node.node_id = next_id
         next_id += 1
+        if node.instrument:
+            # a wrapper holds exactly the one bare string it wrapped —
+            # span semantics keep it bare, so there is nothing to scan
+            continue
         children = node.children
-        for child in children:
-            if type(child) is str:
-                break
-        else:
-            # no string children: nothing to wrap, push as-is
+        if not node.has_str:
+            # no string children (parser-maintained flag): nothing to
+            # wrap, push as-is
             stack.extend(children)  # LIFO: last child explored first
             continue
         to_push: list[Element] = []
@@ -249,12 +286,15 @@ def instrument(doc: Element) -> int:
                     continue
                 wrapper = Element("span", node, instrument=True)
                 wrapper.children.append(child)
+                wrapper.has_str = True  # it IS a bare-string holder
                 new_children.append(wrapper)
                 to_push.append(wrapper)
             else:
                 new_children.append(child)
                 to_push.append(child)
         node.children = new_children
+        # after wrapping, only span nodes legitimately keep bare strings
+        node.has_str = node.tag == "span"
         stack.extend(to_push)  # LIFO: last child explored first
     return next_id
 
@@ -303,31 +343,70 @@ def extract_node_sequence(html: str) -> list[tuple[int, str, str, bool, bool]]:
     return node_sequence_from_doc(doc)
 
 
-def node_sequence_from_doc(doc: Element) -> list[tuple[int, str, str, bool, bool]]:
-    """The walk of ``extract_node_sequence`` over an already-parsed,
-    already-instrumented tree (callers that also need the tree — e.g.
-    annotation projection — parse once and share it)."""
-    out: list[tuple[int, str, str, bool, bool]] = []
-    append = out.append
+def node_columns_from_doc(
+    doc: Element,
+    ids: list[int],
+    texts: list[str],
+    tags: list[str],
+    is_tns: list[bool],
+    has_ts: list[bool],
+) -> None:
+    """Columnar twin of ``node_sequence_from_doc``: appends the model
+    node sequence directly into caller-provided column lists (one
+    append per field instead of a tuple per row) — the hot path for
+    the fused extract+score stage, where per-row tuples were ~10% of
+    all parse-stage time. ``node_sequence_from_doc`` zips these same
+    columns, so there is exactly ONE walk implementation."""
+    app_i = ids.append
+    app_t = texts.append
+    app_g = tags.append
+    app_n = is_tns.append
+    app_h = has_ts.append
     # inlined preorder walk (identical order to iter_elements); an
     # instrument wrapper always holds exactly the one string it wrapped,
     # so its text is children[0] — no subtree walk needed
     stack = [c for c in reversed(doc.children) if isinstance(c, Element)]
+    push = stack.append
     while stack:
         el = stack.pop()
         if el.instrument:
             if el.parent is not None and el.parent.tag != "noscript":
                 text = el.children[0].strip(STRIP_CHARS)
                 if text:
-                    append((el.node_id, text, "#text", True, True))
+                    app_i(el.node_id)
+                    app_t(text)
+                    app_g("#text")
+                    app_n(True)
+                    app_h(True)
             continue  # wrapper children are strings only
         if el.node_id is not None and el.tag in CONTAINER_TAGS:
             text = subtree_text(el).strip(STRIP_CHARS)
-            append((el.node_id, text, el.tag, False, len(text) > 0))
-        for c in reversed(el.children):
-            if isinstance(c, Element):
-                stack.append(c)
-    return out
+            app_i(el.node_id)
+            app_t(text)
+            app_g(el.tag)
+            app_n(False)
+            app_h(len(text) > 0)
+        children = el.children
+        if el.has_str:
+            for c in reversed(children):
+                if isinstance(c, Element):
+                    push(c)
+        else:
+            stack.extend(reversed(children))
+    return None
+
+
+def node_sequence_from_doc(doc: Element) -> list[tuple[int, str, str, bool, bool]]:
+    """The walk of ``extract_node_sequence`` over an already-parsed,
+    already-instrumented tree (callers that also need the tree — e.g.
+    annotation projection — parse once and share it)."""
+    ids: list[int] = []
+    texts: list[str] = []
+    tags: list[str] = []
+    is_tns: list[bool] = []
+    has_ts: list[bool] = []
+    node_columns_from_doc(doc, ids, texts, tags, is_tns, has_ts)
+    return list(zip(ids, texts, tags, is_tns, has_ts))
 
 
 def chunk_sequence(n_nodes: int, chunk_size: int = 384) -> list[tuple[int, int]]:

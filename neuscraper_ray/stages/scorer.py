@@ -64,6 +64,19 @@ _IS_DIGIT[48:58] = 1.0
 _IS_CJKB = np.zeros(256, dtype=np.float64)
 _IS_CJKB[0xE4:0xEA] = 1.0  # utf-8 lead bytes of the CJK unified block
 
+# all three indicators packed in one int64 so the per-batch segment
+# sums cost ONE gather + ONE cumsum instead of three of each. Per-text
+# heads are capped at 256 bytes, so each packed field's count fits in
+# 16 bits; the running cumsum stays exact below 2**31 total bytes
+# (guarded at use — ~8M texts/call, far past any real batch).
+_PACK_SHIFT_SYM = 16
+_PACK_SHIFT_CJK = 32
+_PACKED_IND = (
+    _IS_DIGIT
+    + _IS_SYMBOL * float(1 << _PACK_SHIFT_SYM)
+    + _IS_CJKB * float(1 << _PACK_SHIFT_CJK)
+).astype(np.int64)
+
 
 def score_texts(texts: list[str]) -> np.ndarray:
     """Deterministic content score in (0, 1) per text. Pure function.
@@ -80,6 +93,7 @@ def score_texts(texts: list[str]) -> np.ndarray:
     ends_punct = np.empty(n)
     char_len = np.empty(n)
     heads: list[bytes] = [""] * n  # type: ignore[list-item]
+    is_stop = _STOPWORDS.__contains__  # C-level bool sum via map below
     for i, t in enumerate(texts):
         L = len(t)
         char_len[i] = L
@@ -90,32 +104,50 @@ def score_texts(texts: list[str]) -> np.ndarray:
         words = t[:512].lower().split()
         nw = max(len(words), 1)
         n_words[i] = max(len(t.split()), 1) if L > 512 else nw
-        stop_ratio[i] = sum(1 for w in words[:64] if w in _STOPWORDS) / min(nw, 64)
+        head_words = words if nw <= 64 else words[:64]
+        stop_ratio[i] = sum(map(is_stop, head_words)) / min(nw, 64)
         ends_punct[i] = 1.0 if t[-1] in ".!?" else 0.0
 
     # one pass over the concatenated utf-8 heads: segment sums via cumsum
-    lens = np.fromiter((len(h) for h in heads), dtype=np.int64, count=n)
+    lens = np.fromiter(map(len, heads), dtype=np.int64, count=n)
     big = np.frombuffer(b"".join(heads), dtype=np.uint8)
     ends = np.cumsum(lens)
     starts = ends - lens
     hl = np.maximum(lens, 1).astype(np.float64)
 
-    def seg_sum(table: np.ndarray) -> np.ndarray:
-        cs = np.concatenate([[0.0], np.cumsum(table[big])]) if len(big) else np.zeros(1)
-        return cs[ends] - cs[starts]
+    # packed-indicator segment sums: one gather + one int64 cumsum for
+    # all three byte classes (exact — integer counts, no float rounding)
+    if 0 < len(big) < (1 << 31):
+        cs = np.concatenate([[0], np.cumsum(_PACKED_IND[big])])
+        seg = cs[ends] - cs[starts]
+        field = np.int64((1 << _PACK_SHIFT_SYM) - 1)
+        digit_ratio = (seg & field).astype(np.float64) / hl
+        symbol_ratio = ((seg >> _PACK_SHIFT_SYM) & field).astype(np.float64) / hl
+        cjk_ratio = (seg >> _PACK_SHIFT_CJK).astype(np.float64) / hl
+    else:  # empty batch, or past the packed cumsum's exactness bound
 
-    digit_ratio = seg_sum(_IS_DIGIT) / hl
-    symbol_ratio = seg_sum(_IS_SYMBOL) / hl
-    cjk_ratio = seg_sum(_IS_CJKB) / hl
+        def seg_sum(table: np.ndarray) -> np.ndarray:
+            cs = (
+                np.concatenate([[0.0], np.cumsum(table[big])])
+                if len(big)
+                else np.zeros(1)
+            )
+            return cs[ends] - cs[starts]
+
+        digit_ratio = seg_sum(_IS_DIGIT) / hl
+        symbol_ratio = seg_sum(_IS_SYMBOL) / hl
+        cjk_ratio = seg_sum(_IS_CJKB) / hl
 
     # hashed char-trigram bag over the first 96 bytes, batched bincount
     l96 = np.minimum(lens, 96)
     e96 = np.cumsum(l96)
     s96 = e96 - l96
-    keep_mask = np.zeros(len(big), dtype=bool)
-    for i in range(n):  # cheap: builds the sub-view index ranges
-        keep_mask[starts[i] : starts[i] + l96[i]] = True
-    b96 = big[keep_mask].astype(np.int32)
+    # per-row index ranges [starts[i], starts[i]+l96[i]) built without a
+    # Python loop: row-relative offsets + repeated row starts
+    rep_l96 = np.repeat(starts - s96, l96)
+    b96 = big[np.arange(int(e96[-1]) if n else 0, dtype=np.int64) + rep_l96].astype(
+        np.int32
+    )
     hash_feats = np.zeros((n, _N_HASH), dtype=np.float64)
     if len(b96) >= 3:
         tri = ((b96[:-2] * 131 + b96[1:-1]) * 131 + b96[2:]) & (_N_HASH - 1)
@@ -182,29 +214,58 @@ def extract_score_batch(
     task — the shuffle then moves the model's acceptance rate, not the
     whole node table.
     """
-    from neuscraper_ray.stages.extract import page_to_node_rows
+    from neuscraper_ray.domparse import (
+        instrument,
+        node_columns_from_doc,
+        parse_html,
+    )
+    from neuscraper_ray.stages.extract import decode_html
 
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
-    rows: list[tuple] = []
-    for url, html_bytes in zip(urls, htmls):
-        rows.extend(page_to_node_rows(url, html_bytes))
-    texts = [r[4] for r in rows]
+    n_pages = len(urls)
+    # columnar accumulation — no per-row tuples (see node_columns_from_doc)
+    ids: list[int] = []
+    texts: list[str] = []
+    tags: list[str] = []
+    is_tns: list[bool] = []
+    has_ts: list[bool] = []
+    counts = np.empty(n_pages, dtype=np.int64)
+    page_err = np.zeros(n_pages, dtype=bool)
+    for p, hb in enumerate(htmls):
+        n0 = len(ids)
+        try:
+            doc = parse_html(decode_html(hb))
+            if instrument(doc) > 0:
+                node_columns_from_doc(doc, ids, texts, tags, is_tns, has_ts)
+        except Exception:
+            # roll back any partially-emitted rows; error lineage rides
+            # the sentinel (same semantics as page_to_node_rows)
+            del ids[n0:], texts[n0:], tags[n0:], is_tns[n0:], has_ts[n0:]
+            page_err[p] = True
+        ids.append(-1)  # sentinel: every url survives to assembly
+        texts.append("")
+        has_ts.append(False)
+        counts[p] = len(ids) - n0
+
     scores = score_texts(texts)
-    node_id = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
-    has_text = np.fromiter((r[7] for r in rows), dtype=bool, count=len(rows))
+    node_id = np.array(ids, dtype=np.int64)
+    has_text = np.fromiter(has_ts, dtype=bool, count=len(has_ts))
     sentinel = node_id == -1
     scores[sentinel] = 0.0
     keep = sentinel | ((scores > threshold) & (node_id != 0) & has_text)
     idx = np.nonzero(keep)[0]
-    kept_urls = [rows[i][0] for i in idx]
+    page_of = np.repeat(np.arange(n_pages), counts)
+    kept_pages = page_of[idx]
+    kept_urls = [urls[j] for j in kept_pages.tolist()]
+    idx_l = idx.tolist()
     cols = {
         "url": pa.array(kept_urls, pa.string()),
         "node_id": pa.array(node_id[idx].astype(np.int32)),
-        "text": pa.array([rows[i][4] for i in idx], pa.large_string()),
+        "text": pa.array([texts[i] for i in idx_l], pa.large_string()),
         "score": pa.array(scores[idx], pa.float32()),
-        # error lineage: only sentinel rows can carry tag '#error'
-        "err": pa.array([rows[i][5] == "#error" for i in idx], pa.bool_()),
+        # error lineage: only sentinel rows can carry the error flag
+        "err": pa.array(sentinel[idx] & page_err[kept_pages], pa.bool_()),
     }
     if num_buckets is not None:
         from neuscraper_ray.functions.joins import str_buckets
