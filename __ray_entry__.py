@@ -615,6 +615,11 @@ def oracle_sql() -> dict[str, str]:
         # - pages_annotation_offsets: M15 annotation export (HTML parse
         #   + renderer offsets) — non-SQL; semantics pinned in
         #   tests/test_annotation_export.py.
+        # - curate_task_sweep: A2 full 6-task x 8-threshold grid (ref
+        #   inference.py:78-88) — neural node scorer, non-SQL; the
+        #   Primary@90 slice is pinned bit-equal to the flagship
+        #   predicted set, thresholds nest, and the sweep is
+        #   deterministic (tests/test_filters.py).
         # - docs_semantic_dedup: SemDeDup — k-means is an iterative
         #   fixpoint with no SQL oracle; determinism, dup_of validity
         #   and the no-surviving-near-pair invariant are pinned in

@@ -2618,6 +2618,49 @@ def pages_annotation_offsets(sf_dir: str):
     )
 
 
+def curate_task_sweep(sf_dir: str):
+    """A2 full task x threshold sweep eval table (ref
+    ``inference.py:78-88``: 6 tasks x 8 thresholds computed during
+    eval, of which only Primary@0.9 is saved): per (task, thr_pct) the
+    number of predicted nodes and of urls with >=1 prediction.
+
+    Shape: the grid rows never leave the extract task un-aggregated —
+    each page-granular batch collapses to <=48 partial rows (pandas
+    groupby), and the final groupby runs over a 48-key bounded space.
+    ``n_urls`` sums per-batch distinct-url counts, exact because the
+    pages table is one row per url and batches are page-granular.
+    Rows-only by nature (neural node scorer — non-SQL, same family as
+    curate_labels); the grid itself is pinned in
+    tests/test_filters.py: the Primary@90 slice is bit-equal to the
+    flagship predicted set, higher thresholds nest inside lower ones,
+    and the sweep is deterministic."""
+    from neuscraper_ray.stages.scorer import extract_sweep_batch
+
+    pages = ray.data.read_parquet(_pages_dir_for(sf_dir), columns=["url", "html"])
+    sweep = pages.map_batches(
+        extract_sweep_batch, batch_format="pyarrow", batch_size=32
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["task", "thr_pct"], sort=False).agg(
+            n_nodes=("node_id", "size"), n_urls=("url", "nunique")
+        )
+        return g.reset_index()
+
+    agg = (
+        sweep.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["task", "thr_pct"])
+        .aggregate(
+            Sum("n_nodes", alias_name="n_nodes"),
+            Sum("n_urls", alias_name="n_urls"),
+        )
+    )
+    df = agg.to_pandas().sort_values(["task", "thr_pct"]).reset_index(drop=True)
+    df["n_nodes"] = df["n_nodes"].astype("int64")
+    df["n_urls"] = df["n_urls"].astype("int64")
+    return df
+
+
 def curate_drop_reasons(sf_dir: str):
     """Drop-reason histogram of the flagship pipeline. Rows-only for
     the same reason as curate_labels (model-scored, non-SQL); the
@@ -3674,6 +3717,7 @@ ALL_QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_pairs": embedding_near_pairs,
     "curate_labels": curate_labels,
+    "curate_task_sweep": curate_task_sweep,
     "curate_drop_reasons": curate_drop_reasons,
     "pages_annotation_offsets": pages_annotation_offsets,
 }

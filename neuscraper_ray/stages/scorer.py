@@ -78,8 +78,8 @@ _PACKED_IND = (
 ).astype(np.int64)
 
 
-def score_texts(texts: list[str]) -> np.ndarray:
-    """Deterministic content score in (0, 1) per text. Pure function.
+def score_logits(texts: list[str]) -> np.ndarray:
+    """Deterministic content logit (float64) per text. Pure function.
 
     All byte-level features are vectorized numpy over the utf-8 head of
     each node; the hashed-trigram MLP uses a polynomial rolling hash
@@ -87,7 +87,7 @@ def score_texts(texts: list[str]) -> np.ndarray:
     """
     n = len(texts)
     if n == 0:
-        return np.zeros(0, dtype=np.float32)
+        return np.zeros(0, dtype=np.float64)
     n_words = np.empty(n)
     stop_ratio = np.empty(n)
     ends_punct = np.empty(n)
@@ -169,7 +169,50 @@ def score_texts(texts: list[str]) -> np.ndarray:
         - 7.0 * symbol_ratio
         + 0.6 * h
     )
-    return (1.0 / (1.0 + np.exp(-logit))).astype(np.float32)
+    return logit
+
+
+def score_texts(texts: list[str]) -> np.ndarray:
+    """Deterministic content score in (0, 1) per text (the ``Primary``
+    task's sigmoid). Pure function — shared by the Ray stages and the
+    single-process oracle."""
+    return (1.0 / (1.0 + np.exp(-score_logits(texts)))).astype(np.float32)
+
+
+# ---- A2 full task x threshold sweep (ref inference.py:78-88) --------
+# The reference's eval computes predictions for 6 tasks x 8 thresholds
+# (eval_on_leaderboard_set_vectorized) even though save_predictions
+# keeps only Primary@0.9. The reference model emits 6 sigmoids per
+# node; this deterministic stand-in derives the 5 auxiliary task heads
+# as fixed affine views of the shared logit (a real multi-head model
+# shares its encoder the same way). Primary is the IDENTICAL
+# expression as score_texts, so the Primary@0.9 slice of the sweep is
+# bit-equal to the flagship decision (pinned in tests).
+
+TASKS = ("Primary", "Heading", "Title", "Paragraph", "Table", "List")
+SWEEP_THRESHOLDS = (0.1, 0.25, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+SWEEP_THR_PCT = tuple(int(round(t * 100)) for t in SWEEP_THRESHOLDS)
+_TASK_AFFINE = (
+    (1.0, 0.0),  # Primary — must stay (1, 0): bit-identity with score_texts
+    (0.85, -0.9),  # Heading
+    (0.75, -1.5),  # Title
+    (1.05, 0.35),  # Paragraph
+    (0.65, -2.0),  # Table
+    (0.9, -0.5),  # List
+)
+
+
+def score_texts_tasks(texts: list[str]) -> np.ndarray:
+    """(n, 6) float32 sigmoid per task; column 0 (Primary) is
+    bit-identical to ``score_texts``."""
+    logit = score_logits(texts)
+    out = np.empty((len(texts), len(TASKS)), dtype=np.float32)
+    out[:, 0] = (1.0 / (1.0 + np.exp(-logit))).astype(np.float32)
+    for i, (a, b) in enumerate(_TASK_AFFINE):
+        if i == 0:
+            continue
+        out[:, i] = (1.0 / (1.0 + np.exp(-(a * logit + b)))).astype(np.float32)
+    return out
 
 
 class NodeScorer:
@@ -272,6 +315,66 @@ def extract_score_batch(
 
         cols["bucket"] = pa.array(str_buckets(kept_urls, num_buckets), pa.int32())
     return pa.table(cols)
+
+
+def extract_sweep_batch(batch: pa.Table) -> pa.Table:
+    """Fused pages -> full A2 grid rows: one row per (url, node_id,
+    task, thr_pct) where that task's sigmoid strictly exceeds the
+    threshold (ref ``inference.py:78-88``: ``output > thr``, node id 0
+    removed, per-url sets). The flagship decision gate is applied
+    per task (``node_id != 0 and has_text``), so the Primary@90 slice
+    is exactly the flagship predicted-node set.
+
+    The grid mask is one vectorized (n_nodes, 6, 8) broadcast compare —
+    no per-threshold re-scoring (the reference recomputes the compare
+    per threshold on GPU; here one compare serves all 48 cells).
+    """
+    from neuscraper_ray.domparse import (
+        instrument,
+        node_columns_from_doc,
+        parse_html,
+    )
+    from neuscraper_ray.stages.extract import decode_html
+
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    n_pages = len(urls)
+    ids: list[int] = []
+    texts: list[str] = []
+    tags: list[str] = []
+    is_tns: list[bool] = []
+    has_ts: list[bool] = []
+    counts = np.empty(n_pages, dtype=np.int64)
+    for p, hb in enumerate(htmls):
+        n0 = len(ids)
+        try:
+            doc = parse_html(decode_html(hb))
+            if instrument(doc) > 0:
+                node_columns_from_doc(doc, ids, texts, tags, is_tns, has_ts)
+        except Exception:
+            del ids[n0:], texts[n0:], tags[n0:], is_tns[n0:], has_ts[n0:]
+        counts[p] = len(ids) - n0
+
+    scores = score_texts_tasks(texts)  # (n, 6)
+    node_id = np.array(ids, dtype=np.int64)
+    has_text = np.fromiter(has_ts, dtype=bool, count=len(has_ts))
+    eligible = (node_id != 0) & has_text
+    thr = np.asarray(SWEEP_THRESHOLDS, dtype=np.float32)
+    grid = (scores[:, :, None] > thr[None, None, :]) & eligible[:, None, None]
+    ri, ti, ki = np.nonzero(grid)
+    page_of = np.repeat(np.arange(n_pages), counts)
+    task_arr = np.asarray(TASKS, dtype=object)
+    thr_arr = np.asarray(SWEEP_THR_PCT, dtype=np.int32)
+    return pa.table(
+        {
+            "url": pa.array(
+                [urls[j] for j in page_of[ri].tolist()], pa.string()
+            ),
+            "node_id": pa.array(node_id[ri].astype(np.int32)),
+            "task": pa.array(task_arr[ti], pa.string()),
+            "thr_pct": pa.array(thr_arr[ki]),
+        }
+    )
 
 
 def predict_node_ids(texts: list[str], node_ids: list[int], has_text: list[bool], threshold: float = THRESHOLD) -> list[int]:

@@ -195,3 +195,63 @@ def test_quality_filter_every_rule_fires():
     assert odf["drop_reason"].tolist() == got
     assert odf["keep"].tolist() == out.column("keep").to_pylist()
     assert odf["n_words"].tolist() == out.column("n_words").to_pylist()
+
+
+def test_task_sweep_grid_invariants():
+    """A2 full grid (ref inference.py:78-88): the Primary@90 slice is
+    bit-equal to the flagship predicted set, higher thresholds nest
+    inside lower ones per task, and the sweep is deterministic."""
+    from neuscraper_ray.stages.scorer import (
+        SWEEP_THR_PCT,
+        TASKS,
+        extract_score_batch,
+        extract_sweep_batch,
+        score_texts,
+        score_texts_tasks,
+    )
+    from neuscraper_ray.synth import gen_pages
+
+    pages = gen_pages(200, seed=42)
+    sweep = extract_sweep_batch(pages).to_pandas()
+    sweep2 = extract_sweep_batch(pages).to_pandas()
+    assert sweep.equals(sweep2)  # deterministic
+    assert set(sweep["task"].unique()) <= set(TASKS)
+    assert set(sweep["thr_pct"].unique()) <= set(SWEEP_THR_PCT)
+
+    # Primary@90 == flagship predicted (non-sentinel) set, bit-equal
+    flag = extract_score_batch(pages).to_pandas()
+    flag = flag[flag["node_id"] != -1]
+    want = set(zip(flag["url"], flag["node_id"]))
+    got = sweep[(sweep["task"] == "Primary") & (sweep["thr_pct"] == 90)]
+    assert set(zip(got["url"], got["node_id"])) == want
+    assert len(want) > 0
+
+    # monotone nesting: predictions at a higher threshold are a subset
+    for task in TASKS:
+        sub = sweep[sweep["task"] == task]
+        prev = None
+        for thr in sorted(SWEEP_THR_PCT):
+            cur = set(zip(*(sub[sub["thr_pct"] == thr][c] for c in ("url", "node_id"))))
+            if prev is not None:
+                assert cur <= prev, (task, thr)
+            prev = cur
+
+    # Primary column of the multi-head scorer is bit-identical to the
+    # flagship scorer
+    texts = ["hello world this is a sentence.", "", "12345 $$$", "the cat sat."]
+    import numpy as np
+
+    assert np.array_equal(score_texts_tasks(texts)[:, 0], score_texts(texts))
+
+
+def test_curate_task_sweep_query_shape():
+    """Eval-table query: bounded 48-key output, n_urls <= n_nodes, and
+    every (task, thr) cell count equals the raw grid's count."""
+    from neuscraper_ray.queries import curate_task_sweep
+
+    df = curate_task_sweep("/root/testdata/sf0.001")
+    assert len(df) <= 48
+    assert (df["n_urls"] <= df["n_nodes"]).all()
+    assert (df["n_nodes"] > 0).all()
+    # Primary@90 present (the flagship slice predicts on this corpus)
+    assert ((df["task"] == "Primary") & (df["thr_pct"] == 90)).any()
