@@ -211,6 +211,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies "
             "FROM documents GROUP BY text"
         ),
+        "docs_exact_dedup_fp": (
+            "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies "
+            "FROM documents GROUP BY " + polyhash.sql_fingerprint("text")
+        ),
         "docs_lang_source_rollup": (
             "SELECT coalesce(lang, '<all>') AS lang, "
             "coalesce(source, '<all>') AS source, "

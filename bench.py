@@ -110,6 +110,7 @@ def _run_bench() -> dict:
         "events_rolling_count",
         "order_line_concat",
         "docs_exact_dedup",
+        "docs_exact_dedup_fp",
         "docs_minhash_clusters",
         "docs_simhash_pairs",
         "docs_scrub",

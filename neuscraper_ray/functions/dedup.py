@@ -91,6 +91,54 @@ def exact_dedup(
     )
 
 
+def exact_dedup_fp(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """``exact_dedup`` keyed on the vectorized Mersenne-61 polyhash
+    text fingerprint instead of md5. Same output contract:
+    ``(id_col, n_copies)`` per distinct text, min id kept. SQL twin:
+    ``polyhash.sql_fingerprint`` (an int64 GROUP BY key, where the md5
+    variant's oracle groups on the raw text).
+
+    MEASURED NEGATIVE RESULT (kept on purpose): the hypothesis that
+    replacing the per-row hashlib loop with this vectorized kernel
+    would speed the hot path up is FALSE — hashlib's C md5 hashes
+    ~1.1us/doc on sf0.1 documents vs ~25us/doc for the mod-M
+    polynomial (numpy does ~10 uint64 ops per character; md5's C loop
+    simply wins), so ``exact_dedup`` (md5) REMAINS the default. This
+    variant stays as the SQL-twin-keyed alternative and for corpora
+    where a 64-bit int key downstream is worth more than hash speed.
+    Collision trade-off: 61-bit fingerprints collide with probability
+    ~n^2/2^61 per bucket (md5's 128 bits effectively never); both
+    variants' dup structure is pinned equal in tests.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        from neuscraper_ray.functions.joins import _bucket_i64
+
+        fp = ph.fingerprints(batch.column(text_col).to_pylist())
+        t = batch.select([id_col]).append_column("h", pa.array(fp, pa.int64()))
+        # splitmix64 decorrelates the bucket from the hash's low bits
+        return t.append_column(
+            "hb", pa.array(_bucket_i64(fp, NUM_BUCKETS), pa.int32())
+        )
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", sort=False)[id_col].agg(["min", "size"])
+        return pd.DataFrame(
+            {
+                id_col: g["min"].to_numpy(),
+                "n_copies": g["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------- minhash
 
 

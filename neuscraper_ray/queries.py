@@ -88,6 +88,20 @@ def docs_exact_dedup(sf_dir: str):
     return exact_dedup(ds, id_col="doc_id", text_col="text")
 
 
+def docs_exact_dedup_fp(sf_dir: str):
+    """Polyhash-fingerprint exact dedup: same output contract as
+    docs_exact_dedup, SQL-verified via the shared Mersenne-61 polyhash
+    (int64 key). NOT faster than the md5 variant — hashlib's C md5
+    beats the vectorized mod-M kernel ~23x per doc (measured; see
+    functions/dedup.py:exact_dedup_fp) — kept as the SQL-twin-keyed
+    alternative. Both variants' dup structure is pinned equal in
+    tests/test_functions.py."""
+    from neuscraper_ray.functions.dedup import exact_dedup_fp
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup_fp(ds, id_col="doc_id", text_col="text")
+
+
 def docs_lang_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     agg = ds.groupby("lang").aggregate(
@@ -3635,6 +3649,7 @@ ALL_QUERIES = {
     "docs_token_count": docs_token_count,
     "docs_content_hash": docs_content_hash,
     "docs_exact_dedup": docs_exact_dedup,
+    "docs_exact_dedup_fp": docs_exact_dedup_fp,
     "docs_lang_stats": docs_lang_stats,
     "docs_word_stats": docs_word_stats,
     "docs_repetition_stats": docs_repetition_stats,

@@ -695,3 +695,29 @@ def test_dsir_empty_target_and_degenerate_docs():
     assert out2.loc[4, "score_ppm"] == 0
     assert out2.loc[3, "score_ppm"] == 1_000_000
     assert out2.loc[5, "score_ppm"] == 1_000_000
+
+
+def test_exact_dedup_fp_matches_md5_variant():
+    """The vectorized-fingerprint exact dedup must produce the same dup
+    structure (kept id + copy count per distinct text) as the md5
+    variant on a corpus with planted duplicates."""
+    import pandas as pd
+
+    from neuscraper_ray.functions.dedup import exact_dedup, exact_dedup_fp
+
+    import duckdb
+
+    # plant exact duplicates: re-ingest a slice under fresh ids
+    tbl = duckdb.sql(
+        f"""
+        SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM read_parquet('{SF_DIR}/documents.parquet') LIMIT 550 OFFSET 0
+        """
+    ).arrow()
+    ds = ray.data.from_arrow(tbl)
+    a = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = exact_dedup_fp(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_copies"] > 1).any()
