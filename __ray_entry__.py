@@ -215,6 +215,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies "
             "FROM documents GROUP BY " + polyhash.sql_fingerprint("text")
         ),
+        "docs_line_dedup": """
+            WITH l0 AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS raw
+              FROM documents
+            ),
+            l AS (
+              SELECT DISTINCT doc_id,
+                trim(raw, ' ' || chr(9) || chr(13)) AS line
+              FROM l0
+              WHERE trim(raw, ' ' || chr(9) || chr(13)) <> ''
+            ),
+            c AS (SELECT line, count(*) AS nd FROM l GROUP BY line),
+            p AS (
+              SELECT l.doc_id, count(*)::BIGINT AS n_lines,
+                sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_dup_lines
+              FROM l JOIN c USING (line) GROUP BY l.doc_id
+            )
+            SELECT d.doc_id,
+              coalesce(p.n_lines, 0)::BIGINT AS n_lines,
+              coalesce(p.n_dup_lines, 0)::BIGINT AS n_dup_lines,
+              coalesce((p.n_dup_lines * 1000000) // p.n_lines, 0)::BIGINT
+                AS dup_line_ppm
+            FROM documents d LEFT JOIN p USING (doc_id)
+        """,
         "docs_lang_source_rollup": (
             "SELECT coalesce(lang, '<all>') AS lang, "
             "coalesce(source, '<all>') AS source, "

@@ -139,6 +139,100 @@ def exact_dedup_fp(
     )
 
 
+# ---------------------------------------------------------- line-level
+
+LINE_STRIP = " \t\r"  # SQL twin: trim(x, ' ' || chr(9) || chr(13))
+
+
+def line_dedup_stats(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """CCNet/RefinedWeb-style duplicated-line statistics: per document,
+    how many of its distinct non-empty lines (split on ``\\n``, trimmed
+    of ``LINE_STRIP``) also appear in at least one OTHER document.
+    -> ``(doc_id, n_lines, n_dup_lines, dup_line_ppm)`` for every doc
+    (zero rows for docs with no non-empty lines).
+
+    Scale shape: lines are extracted with pyarrow kernels
+    (split_pattern / list_flatten / utf8_trim — no Python string loop),
+    de-duplicated per doc in-batch (global, since a doc lives in one
+    batch), then exchanged TWICE, both times as (hash-bucketed) pairs:
+    once by LINE bucket — a line's global doc-count is decidable
+    in-bucket because equal lines share a bucket — collapsing
+    immediately to per-(bucket, doc) partial counts, and once by DOC
+    bucket to sum partials. No per-distinct-line groupby (CLAUDE.md
+    pitfall), no driver materialization, duplicate-line index never
+    built. A doc's partial rows are bounded by min(its lines, B).
+    """
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.joins import _bucket_i64, str_buckets
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(batch.column(text_col), "\n")
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        trimmed = pc.utf8_trim(flat, LINE_STRIP)
+        keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy()
+        df = pd.DataFrame(
+            {
+                id_col: ids[parents[keep]],
+                "line": trimmed.to_pandas()[keep].to_numpy(),
+            }
+        ).drop_duplicates()
+        df["b"] = str_buckets(df["line"].tolist(), num_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def line_bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+        # pairs are (doc, line)-distinct, so size == distinct doc count
+        nd = df.groupby("line", sort=False)[id_col].transform("size")
+        out = (
+            df.assign(isdup=(nd >= 2).astype(np.int64))
+            .groupby(id_col, as_index=False)
+            .agg(n_lines=("line", "size"), n_dup_lines=("isdup", "sum"))
+        )
+        return out
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        z = np.zeros(len(batch), dtype=np.int64)
+        return pa.table(
+            {id_col: batch.column(id_col), "n_lines": z, "n_dup_lines": z}
+        )
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["db"] = _bucket_i64(df[id_col].to_numpy(), num_buckets)
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False).agg(
+            n_lines=("n_lines", "sum"), n_dup_lines=("n_dup_lines", "sum")
+        )
+        nl = g["n_lines"].to_numpy()
+        nd = g["n_dup_lines"].to_numpy()
+        g["dup_line_ppm"] = np.where(nl > 0, (nd * 1_000_000) // np.maximum(nl, 1), 0)
+        return g[[id_col, "n_lines", "n_dup_lines", "dup_line_ppm"]]
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(line_bucket_agg, batch_format="pandas")
+    )
+    # sentinel zero-partials keep line-less docs in the output
+    zero_rows = ds.select_columns([id_col]).map_batches(
+        zeros, batch_format="pyarrow"
+    )
+    return (
+        partials.union(zero_rows)
+        .map_batches(doc_bucket, batch_format="pandas", batch_size=None)
+        .groupby("db")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------- minhash
 
 

@@ -102,6 +102,20 @@ def docs_exact_dedup_fp(sf_dir: str):
     return exact_dedup_fp(ds, id_col="doc_id", text_col="text")
 
 
+def docs_line_dedup(sf_dir: str):
+    """CCNet/RefinedWeb-style duplicated-line fraction per document
+    (distinct trimmed non-empty lines shared with >=1 other doc).
+    SQL-verified; two pair-shaped exchanges, no duplicate-line index
+    (see functions/dedup.py:line_dedup_stats). The synthetic corpus
+    has single-line docs, so here dup lines == whole-text dups; the
+    multi-line semantics are pinned on planted docs in
+    tests/test_functions.py."""
+    from neuscraper_ray.functions.dedup import line_dedup_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return line_dedup_stats(ds, id_col="doc_id", text_col="text")
+
+
 def docs_lang_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     agg = ds.groupby("lang").aggregate(
@@ -3650,6 +3664,7 @@ ALL_QUERIES = {
     "docs_content_hash": docs_content_hash,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_fp": docs_exact_dedup_fp,
+    "docs_line_dedup": docs_line_dedup,
     "docs_lang_stats": docs_lang_stats,
     "docs_word_stats": docs_word_stats,
     "docs_repetition_stats": docs_repetition_stats,

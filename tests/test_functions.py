@@ -721,3 +721,53 @@ def test_exact_dedup_fp_matches_md5_variant():
     b = exact_dedup_fp(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_copies"] > 1).any()
+
+
+def test_line_dedup_stats_planted_multiline():
+    """Line-level dedup on planted multi-line docs: exact per-doc
+    duplicated-line counts, zero rows for line-less docs, and
+    agreement with a brute-force recount."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.dedup import LINE_STRIP, line_dedup_stats
+
+    docs = {
+        1: "alpha beta\ncommon footer\n\n  common footer  ",  # dup-of-own-line collapses (distinct)
+        2: "gamma delta\ncommon footer\nunique two",
+        3: "unique three only",
+        4: "",  # no lines at all
+        5: "\t \r\n  \n",  # whitespace-only lines -> zero row
+        6: "common footer",
+    }
+    tbl = pa.table(
+        {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+    )
+    out = (
+        line_dedup_stats(ray.data.from_arrow(tbl), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 5, 6]
+
+    # brute-force recount
+    lines = {
+        k: {ln.strip(LINE_STRIP) for ln in v.split("\n") if ln.strip(LINE_STRIP)}
+        for k, v in docs.items()
+    }
+    for _, r in out.iterrows():
+        mine = lines[r["doc_id"]]
+        assert r["n_lines"] == len(mine)
+        dup = sum(
+            1
+            for ln in mine
+            if any(ln in lines[o] for o in lines if o != r["doc_id"])
+        )
+        assert r["n_dup_lines"] == dup
+        want_ppm = (dup * 1_000_000) // len(mine) if mine else 0
+        assert r["dup_line_ppm"] == want_ppm
+    # 'common footer' is shared by docs 1, 2, 6
+    byid = out.set_index("doc_id")
+    assert byid.loc[6, "n_dup_lines"] == 1 and byid.loc[6, "dup_line_ppm"] == 1_000_000
+    assert byid.loc[4, "n_lines"] == 0 and byid.loc[5, "n_lines"] == 0
