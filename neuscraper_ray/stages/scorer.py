@@ -67,8 +67,10 @@ _IS_CJKB[0xE4:0xEA] = 1.0  # utf-8 lead bytes of the CJK unified block
 # all three indicators packed in one int64 so the per-batch segment
 # sums cost ONE gather + ONE cumsum instead of three of each. Per-text
 # heads are capped at 256 bytes, so each packed field's count fits in
-# 16 bits; the running cumsum stays exact below 2**31 total bytes
-# (guarded at use — ~8M texts/call, far past any real batch).
+# 16 bits; the running int64 cumsum stays exact below 2**30 total
+# bytes (max 2**30 * (1 + 2**16 + 2**32) ~= 4.6e18 < 2**63; 2**31
+# would already graze the int64 edge). Guarded at use — ~4M texts per
+# call, far past any real batch.
 _PACK_SHIFT_SYM = 16
 _PACK_SHIFT_CJK = 32
 _PACKED_IND = (
@@ -117,7 +119,7 @@ def score_logits(texts: list[str]) -> np.ndarray:
 
     # packed-indicator segment sums: one gather + one int64 cumsum for
     # all three byte classes (exact — integer counts, no float rounding)
-    if 0 < len(big) < (1 << 31):
+    if 0 < len(big) < (1 << 30):
         cs = np.concatenate([[0], np.cumsum(_PACKED_IND[big])])
         seg = cs[ends] - cs[starts]
         field = np.int64((1 << _PACK_SHIFT_SYM) - 1)
