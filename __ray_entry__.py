@@ -240,6 +240,56 @@ def oracle_sql() -> dict[str, str]:
                 AS dup_line_ppm
             FROM documents d LEFT JOIN p USING (doc_id)
         """,
+        "docs_line_dedup_apply": """
+            WITH ls AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+            ),
+            l0 AS (
+              SELECT doc_id, unnest(list_transform(range(len(ls)),
+                k -> struct_pack(li := k, raw := ls[(k+1)::BIGINT]))) AS s
+              FROM ls
+            ),
+            fl AS (
+              SELECT doc_id, s.li AS line_idx,
+                trim(s.raw, ' ' || chr(9) || chr(13)) AS line
+              FROM l0
+            ),
+            nz AS (SELECT * FROM fl WHERE line <> ''),
+            rn AS (
+              SELECT *, row_number() OVER (PARTITION BY line
+                ORDER BY doc_id, line_idx) AS rn FROM nz
+            ),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_lines,
+                sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                  ORDER BY line_idx), '') AS text_dedup
+              FROM rn GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+              coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+              coalesce(a.text_dedup, '') AS text_dedup
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "docs_bigram_lm_score": (
+            "WITH d AS (SELECT doc_id, list_transform("
+            "list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\x0c\\r]+'), "
+            "w -> w != ''), w -> lower(w)) AS ws FROM documents), "
+            "bg AS (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], "
+            "ws[2:len(ws)])) AS pr FROM d WHERE len(ws) >= 2), "
+            "fl AS (SELECT doc_id, pr[1] AS x, pr[2] AS y FROM bg), "
+            "pc AS (SELECT x, y, count(*)::HUGEINT AS n_xy FROM fl "
+            "GROUP BY x, y), "
+            "uc AS (SELECT term, count(*)::HUGEINT AS n_x FROM ("
+            "SELECT unnest(ws) AS term FROM d) GROUP BY term), "
+            "sc AS (SELECT fl.doc_id, count(*)::BIGINT AS n_pairs, "
+            "sum((pc.n_xy * 1000000) // uc.n_x)::HUGEINT AS s "
+            "FROM fl JOIN pc USING (x, y) JOIN uc ON fl.x = uc.term "
+            "GROUP BY fl.doc_id) "
+            "SELECT d2.doc_id, coalesce(sc.n_pairs, 0)::BIGINT AS n_pairs, "
+            "coalesce(sc.s // sc.n_pairs, 0)::BIGINT AS lm_ppm "
+            "FROM documents d2 LEFT JOIN sc USING (doc_id)"
+        ),
         "docs_lang_source_rollup": (
             "SELECT coalesce(lang, '<all>') AS lang, "
             "coalesce(source, '<all>') AS source, "

@@ -117,7 +117,9 @@ def _run_bench() -> dict:
         "docs_decontaminate",
         "docs_top_terms",
         "docs_bigram_pmi",
+        "docs_bigram_lm_score",
         "docs_chunk_dedup",
+        "docs_line_dedup_apply",
         "docs_quality_filter",
         "docs_repetition_stats",
         "docs_lm_buckets",

@@ -233,6 +233,116 @@ def line_dedup_stats(
     )
 
 
+def line_dedup_apply(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """CCNet-style line-level deduplication APPLIED (Wenzek et al.
+    2020 §3.1 drop every repeated occurrence of a line): split each
+    document on ``\\n``, trim lines of ``LINE_STRIP``, drop empties,
+    keep only the FIRST corpus-wide occurrence of each distinct
+    trimmed line (first = lexicographic min ``(doc_id, line_idx)`` —
+    deterministic under any partitioning and task order), and
+    reassemble the surviving lines per document in original order.
+    -> ``(doc_id, n_lines, n_kept, text_dedup)`` for EVERY input doc
+    (0/0/'' for docs with no non-empty lines). The companion
+    statistics view is :func:`line_dedup_stats`.
+
+    Scale shape (the ``docs_chunk_dedup`` topology at line
+    granularity): lines extracted with pyarrow kernels plus an
+    offsets-derived in-document line index (no Python string loop);
+    TWO keyed exchanges, both on coarse vectorized buckets — once by
+    LINE-text hash (every copy of a line lands in one bucket, so the
+    in-bucket first-occurrence scan is globally correct; dedup keys
+    on the exact text, the hash only routes) and once by DOC id to
+    reassemble. One sentinel row per doc keeps line-less docs in the
+    output. No stage holds the corpus; the driver holds nothing.
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.joins import _bucket_i64, str_buckets
+
+    def linify(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(batch.column(text_col), "\n").combine_chunks()
+        offs = lines.offsets.to_numpy()
+        flat = lines.values
+        parents = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        line_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1].astype(np.int64), np.diff(offs)
+        )
+        trimmed = pc.utf8_trim(flat, LINE_STRIP)
+        keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy()
+        out = pa.table(
+            {
+                id_col: pa.array(ids[parents[keep]], pa.int64()),
+                "line_idx": pa.array(line_idx[keep], pa.int64()),
+                "line": trimmed.filter(pa.array(keep)),
+            }
+        )
+        hb = str_buckets(out.column("line"), num_buckets)
+        out = out.append_column("hb", pa.array(hb, pa.int32()))
+        n = len(batch)
+        sentinel = pa.table(
+            {
+                id_col: batch.column(id_col),
+                "line_idx": pa.array(np.full(n, -1, dtype=np.int64)),
+                "line": pa.array([""] * n, pa.string()),
+                "hb": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
+        return pa.concat_tables([out, sentinel])
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        sent = df[df["line_idx"] < 0].copy()
+        real = df[df["line_idx"] >= 0].sort_values(
+            ["line", id_col, "line_idx"], kind="mergesort"
+        )
+        real = real.assign(keep=~real["line"].duplicated().to_numpy())
+        sent = sent.assign(keep=True)
+        out = pd.concat([real, sent], ignore_index=True)
+        out["db"] = _bucket_i64(out[id_col].to_numpy(), num_buckets)
+        return out[[id_col, "line_idx", "line", "keep", "db"]]
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        pf = pl.from_pandas(df)
+        real = pf.filter(pl.col("line_idx") >= 0)
+        stats = real.group_by(id_col).agg(
+            pl.len().cast(pl.Int64).alias("n_lines"),
+            pl.col("keep").sum().cast(pl.Int64).alias("n_kept"),
+        )
+        txt = (
+            real.filter(pl.col("keep"))
+            .sort([id_col, "line_idx"])
+            .group_by(id_col, maintain_order=True)
+            .agg(pl.col("line").str.join("\n").alias("text_dedup"))
+        )
+        out = (
+            pf.filter(pl.col("line_idx") < 0)
+            .select(id_col)
+            .unique()
+            .join(stats, on=id_col, how="left")
+            .join(txt, on=id_col, how="left")
+            .with_columns(
+                pl.col("n_lines").fill_null(0),
+                pl.col("n_kept").fill_null(0),
+                pl.col("text_dedup").fill_null(""),
+            )
+        )
+        return out.to_pandas()
+
+    return (
+        ds.map_batches(linify, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("db")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------- minhash
 
 

@@ -116,6 +116,19 @@ def docs_line_dedup(sf_dir: str):
     return line_dedup_stats(ds, id_col="doc_id", text_col="text")
 
 
+def docs_line_dedup_apply(sf_dir: str):
+    """CCNet line dedup APPLIED: drop every corpus-wide repeat of a
+    trimmed non-empty line (first occurrence by (doc_id, line_idx)
+    wins), reassemble the survivors per doc. SQL-verified; the
+    ``docs_chunk_dedup`` two-exchange topology at line granularity
+    (see functions/dedup.py:line_dedup_apply). Multi-line semantics
+    pinned on planted docs in tests/test_functions.py."""
+    from neuscraper_ray.functions.dedup import line_dedup_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return line_dedup_apply(ds, id_col="doc_id", text_col="text")
+
+
 def docs_lang_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     agg = ds.groupby("lang").aggregate(
@@ -714,6 +727,129 @@ def docs_bigram_pmi(sf_dir: str):
         ["score", "x", "y"], ascending=[False, True, True], kind="mergesort"
     )
     return cand.head(k).reset_index(drop=True)
+
+
+def docs_bigram_lm_score(sf_dir: str):
+    """KenLM-style n-gram LM scoring of each document (the CCNet /
+    north-star perplexity gate, one order up from the unigram LM in
+    ``docs_lm_buckets``): train a bigram LM on the corpus itself, then
+    score every doc by its mean conditional bigram probability
+    ``p(y|x) = n_xy / n_x`` in ppm — integer-exact fixed point
+    (per-pair ``(n_xy * 1e6) // n_x``, per-doc floor-mean), so DuckDB
+    reproduces it value-for-value. Rank-equivalent to negative
+    cross-entropy for comparison purposes (the log is monotone per
+    pair; the arithmetic mean of probs is the standard integer-exact
+    stand-in used across this repo's scoring ops). Corpus-trained, so
+    every doc bigram is in-vocabulary — no backoff path needed; with a
+    held-out LM you'd left-join and add-one the misses.
+
+    Scale shape: pass 1 = unigram counts (``_term_counts`` combiner
+    machinery) broadcast once via ray.put; pass 2 = per-batch polars
+    bigram combiner shuffled on a vectorized bigram bucket, merged
+    in-bucket, collected ONCE as the (x, y, n_xy) model table and
+    broadcast (at web-scale bigram vocab you'd shard both broadcasts
+    by the same term bucket and score bucket-aligned, as documented
+    in docs_lm_buckets); pass 3 = one vectorized polars join per
+    batch, zero shuffle. int64-safe while n_xy < 9.2e12 (the SQL twin
+    uses HUGEINT throughout)."""
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import str_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # ---- pass 1: unigram counts, distributed merge, broadcast
+    uni = _term_counts(ds, lower=True)
+    uni_ref = ray.put(pl.DataFrame({"x": uni["term"], "n_x": uni["n"]}))
+
+    # ---- pass 2: global bigram counts (partial -> bucket merge)
+    def bg_partial(t: pa.Table) -> pa.Table:
+        pf = pl.from_arrow(t.select(["text"]))
+        ex = (
+            pf.select(
+                pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
+            )
+            .with_row_index("i")
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(pl.col("w").str.to_lowercase())
+        )
+        bg = (
+            ex.with_columns(pl.col("w").shift(-1).over("i").alias("y"))
+            .drop_nulls("y")
+            .rename({"w": "x"})
+            .group_by(["x", "y"])
+            .agg(pl.len().alias("n_xy"))
+            .with_columns((pl.col("x") + "\x1f" + pl.col("y")).alias("bk"))
+        )
+        out = bg.to_arrow().cast(
+            pa.schema(
+                [
+                    ("x", pa.string()),
+                    ("y", pa.string()),
+                    ("n_xy", pa.int64()),
+                    ("bk", pa.string()),
+                ]
+            )
+        )
+        hb = str_buckets(out.column("bk"), NUM_BUCKETS)
+        return out.drop_columns(["bk"]).append_column(
+            "hb", pa.array(hb, pa.int32())
+        )
+
+    def bg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["x", "y"], sort=False, as_index=False)["n_xy"].sum()
+
+    bg_counts = (
+        ds.map_batches(bg_partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(bg_merge, batch_format="pandas")
+        .to_pandas()  # the LM model table (bigram vocab), broadcast once
+    )
+    bg_ref = ray.put(pl.from_pandas(bg_counts))
+
+    # ---- pass 3: per-batch scoring against the broadcast LM
+    def score_batch(t: pa.Table) -> pa.Table:
+        bgdf = ray.get(bg_ref)
+        unidf = ray.get(uni_ref)
+        n = t.num_rows
+        pf = pl.from_arrow(t.select(["text"]))
+        ex = (
+            pf.select(
+                pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
+            )
+            .with_row_index("i")
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(pl.col("w").str.to_lowercase())
+        )
+        agg = (
+            ex.with_columns(pl.col("w").shift(-1).over("i").alias("y"))
+            .drop_nulls("y")
+            .rename({"w": "x"})
+            .join(bgdf, on=["x", "y"], how="left")
+            .join(unidf, on="x", how="left")
+            .with_columns(
+                ((pl.col("n_xy") * 1_000_000) // pl.col("n_x")).alias("cond")
+            )
+            .group_by("i")
+            .agg(pl.len().alias("np"), pl.col("cond").sum().alias("s"))
+        )
+        n_pairs = np.zeros(n, dtype=np.int64)
+        s = np.zeros(n, dtype=np.int64)
+        ii = agg["i"].to_numpy().astype(np.int64)
+        n_pairs[ii] = agg["np"].to_numpy()
+        s[ii] = agg["s"].to_numpy()
+        lm_ppm = np.where(n_pairs > 0, s // np.maximum(n_pairs, 1), 0)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_pairs": pa.array(n_pairs),
+                "lm_ppm": pa.array(lm_ppm),
+            }
+        )
+
+    return ds.map_batches(score_batch, batch_format="pyarrow")
 
 
 def docs_chunk_dedup(sf_dir: str, chunk_words: int = 10):
@@ -3665,6 +3801,7 @@ ALL_QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_fp": docs_exact_dedup_fp,
     "docs_line_dedup": docs_line_dedup,
+    "docs_line_dedup_apply": docs_line_dedup_apply,
     "docs_lang_stats": docs_lang_stats,
     "docs_word_stats": docs_word_stats,
     "docs_repetition_stats": docs_repetition_stats,
@@ -3695,6 +3832,7 @@ ALL_QUERIES = {
     "docs_top_terms": docs_top_terms,
     "docs_vocab_stats": docs_vocab_stats,
     "docs_bigram_pmi": docs_bigram_pmi,
+    "docs_bigram_lm_score": docs_bigram_lm_score,
     "docs_chunk_dedup": docs_chunk_dedup,
     "events_type_agg": events_type_agg,
     "events_hourly": events_hourly,

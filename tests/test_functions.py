@@ -771,3 +771,58 @@ def test_line_dedup_stats_planted_multiline():
     byid = out.set_index("doc_id")
     assert byid.loc[6, "n_dup_lines"] == 1 and byid.loc[6, "dup_line_ppm"] == 1_000_000
     assert byid.loc[4, "n_lines"] == 0 and byid.loc[5, "n_lines"] == 0
+
+
+def test_line_dedup_apply_planted_multiline():
+    """APPLIED line dedup on planted multi-line docs: occurrence-level
+    first-wins by (doc_id, line_idx) — including a doc's own repeats —
+    exact reassembly in line order, empty output for line-less docs,
+    and invariance to bucket count. Verified against a brute-force
+    single-process mirror."""
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.dedup import LINE_STRIP, line_dedup_apply
+
+    docs = {
+        1: "alpha beta\ncommon footer\n\n  common footer  ",  # own repeat drops
+        2: "gamma delta\ncommon footer\nunique two",
+        3: "unique three only",
+        4: "",  # no lines at all
+        5: "\t \r\n  \n",  # whitespace-only lines
+        6: "common footer",
+        7: "alpha beta\nzeta",  # head line already owned by doc 1
+    }
+    tbl = pa.table({"doc_id": list(docs), "text": [docs[k] for k in docs]})
+
+    # brute-force mirror: global first occurrence by (doc_id, line_idx)
+    seen: set[str] = set()
+    want: dict[int, tuple[int, int, str]] = {}
+    for did in sorted(docs):
+        kept = []
+        n_lines = 0
+        for ln in docs[did].split("\n"):
+            t = ln.strip(LINE_STRIP)
+            if not t:
+                continue
+            n_lines += 1
+            if t not in seen:
+                seen.add(t)
+                kept.append(t)
+        want[did] = (n_lines, len(kept), "\n".join(kept))
+
+    for nb in (1, 4):
+        out = (
+            line_dedup_apply(ray.data.from_arrow(tbl), num_buckets=nb)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == sorted(docs)
+        for _, r in out.iterrows():
+            nl, nk, txt = want[r["doc_id"]]
+            assert (r["n_lines"], r["n_kept"], r["text_dedup"]) == (nl, nk, txt)
+    # the planted facts themselves
+    assert want[1] == (3, 2, "alpha beta\ncommon footer")
+    assert want[2] == (3, 2, "gamma delta\nunique two")
+    assert want[6] == (1, 0, "")
+    assert want[7] == (2, 1, "zeta")
