@@ -743,27 +743,28 @@ def docs_bigram_lm_score(sf_dir: str):
     every doc bigram is in-vocabulary — no backoff path needed; with a
     held-out LM you'd left-join and add-one the misses.
 
-    Scale shape: pass 1 = unigram counts (``_term_counts`` combiner
-    machinery) broadcast once via ray.put; pass 2 = per-batch polars
-    bigram combiner shuffled on a vectorized bigram bucket, merged
-    in-bucket, collected ONCE as the (x, y, n_xy) model table and
-    broadcast (at web-scale bigram vocab you'd shard both broadcasts
-    by the same term bucket and score bucket-aligned, as documented
-    in docs_lm_buckets); pass 3 = one vectorized polars join per
-    batch, zero shuffle. int64-safe while n_xy < 9.2e12 (the SQL twin
-    uses HUGEINT throughout)."""
+    Scale shape: ONE fused count pass — each batch tokenizes once and
+    emits BOTH unigram partials (as ``y=""`` rows; a token is a
+    non-empty non-whitespace run, so the empty ``y`` is an unambiguous
+    unigram tag) and bigram partials into the same (x, y, n_xy) table,
+    shuffled on a vectorized (x,y) bucket, merged in-bucket, collected
+    ONCE as the model table, split driver-side and broadcast (at
+    web-scale bigram vocab you'd shard both broadcasts by the same
+    term bucket and score bucket-aligned, as documented in
+    docs_lm_buckets); pass 2 = one vectorized polars join per batch,
+    zero shuffle. The unigram slice is count-identical to
+    ``_term_counts(lower=True)`` (same explode, same group; the oracle
+    conformance test pins the resulting ``n_x`` values end-to-end).
+    int64-safe while n_xy < 9.2e12 (the SQL twin uses HUGEINT
+    throughout)."""
     import polars as pl
 
     from neuscraper_ray.functions.joins import str_buckets
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    # ---- pass 1: unigram counts, distributed merge, broadcast
-    uni = _term_counts(ds, lower=True)
-    uni_ref = ray.put(pl.DataFrame({"x": uni["term"], "n_x": uni["n"]}))
-
-    # ---- pass 2: global bigram counts (partial -> bucket merge)
-    def bg_partial(t: pa.Table) -> pa.Table:
+    # ---- pass 1 (fused): unigram + bigram counts in one tokenize
+    def counts_partial(t: pa.Table) -> pa.Table:
         pf = pl.from_arrow(t.select(["text"]))
         ex = (
             pf.select(
@@ -774,15 +775,25 @@ def docs_bigram_lm_score(sf_dir: str):
             .drop_nulls("w")
             .with_columns(pl.col("w").str.to_lowercase())
         )
+        uni = (
+            ex.group_by("w")
+            .agg(pl.len().alias("n_xy"))
+            .rename({"w": "x"})
+            .with_columns(pl.lit("").alias("y"))
+            .select(["x", "y", "n_xy"])
+        )
         bg = (
             ex.with_columns(pl.col("w").shift(-1).over("i").alias("y"))
             .drop_nulls("y")
             .rename({"w": "x"})
             .group_by(["x", "y"])
             .agg(pl.len().alias("n_xy"))
-            .with_columns((pl.col("x") + "\x1f" + pl.col("y")).alias("bk"))
+            .select(["x", "y", "n_xy"])
         )
-        out = bg.to_arrow().cast(
+        both = pl.concat([uni, bg]).with_columns(
+            (pl.col("x") + "\x1f" + pl.col("y")).alias("bk")
+        )
+        out = both.to_arrow().cast(
             pa.schema(
                 [
                     ("x", pa.string()),
@@ -797,16 +808,22 @@ def docs_bigram_lm_score(sf_dir: str):
             "hb", pa.array(hb, pa.int32())
         )
 
-    def bg_merge(df: pd.DataFrame) -> pd.DataFrame:
+    def counts_merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["x", "y"], sort=False, as_index=False)["n_xy"].sum()
 
-    bg_counts = (
-        ds.map_batches(bg_partial, batch_format="pyarrow")
+    model = (
+        ds.map_batches(counts_partial, batch_format="pyarrow")
         .groupby("hb")
-        .map_groups(bg_merge, batch_format="pandas")
-        .to_pandas()  # the LM model table (bigram vocab), broadcast once
+        .map_groups(counts_merge, batch_format="pandas")
+        .to_pandas()  # the LM model table (uni + bigram vocab), collected once
     )
-    bg_ref = ray.put(pl.from_pandas(bg_counts))
+    is_uni = (model["y"] == "").to_numpy()
+    uni_ref = ray.put(
+        pl.DataFrame(
+            {"x": model["x"][is_uni], "n_x": model["n_xy"][is_uni]}
+        )
+    )
+    bg_ref = ray.put(pl.from_pandas(model[~is_uni][["x", "y", "n_xy"]]))
 
     # ---- pass 3: per-batch scoring against the broadcast LM
     def score_batch(t: pa.Table) -> pa.Table:
