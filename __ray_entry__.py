@@ -52,6 +52,7 @@ def oracle_sql() -> dict[str, str]:
     from neuscraper_ray.functions import dsir as _dsir
     from neuscraper_ray.functions import polyhash
     from neuscraper_ray.functions import ann as _ann
+    from neuscraper_ray.functions import urls as _urls
     from neuscraper_ray.stages import heuristics as _heur
 
     return {
@@ -289,6 +290,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d2.doc_id, coalesce(sc.n_pairs, 0)::BIGINT AS n_pairs, "
             "coalesce(sc.s // sc.n_pairs, 0)::BIGINT AS lm_ppm "
             "FROM documents d2 LEFT JOIN sc USING (doc_id)"
+        ),
+        "docs_url_dedup": (
+            "WITH "
+            + _urls.sql_url_norm_ctes("documents")
+            + " SELECT doc_id, url_norm, "
+            "(doc_id = min(doc_id) OVER (PARTITION BY url_norm)) AS keep "
+            "FROM normed"
+        ),
+        "docs_domain_stats": (
+            "WITH "
+            + _urls.sql_url_norm_ctes("documents")
+            + " SELECT regexp_extract(url_norm, '://([^/]*)', 1) AS domain, "
+            "count(*)::BIGINT AS n_docs, "
+            "count(DISTINCT url_norm)::BIGINT AS n_unique_urls, "
+            "((count(*) - count(DISTINCT url_norm)) * 10000) // count(*) "
+            "AS dup_rate_e4 "
+            "FROM normed GROUP BY 1"
         ),
         "docs_lang_source_rollup": (
             "SELECT coalesce(lang, '<all>') AS lang, "

@@ -1,0 +1,204 @@
+"""URL canonicalization + URL-level deduplication.
+
+The first dedup pass of a real crawl pipeline (CCNet / CommonCrawl
+processing dedups by normalized URL before touching content): two
+fetches of ``HTTPS://www.Example.com/page/?utm_source=feed#top`` and
+``https://example.com/page`` are the same document, and dropping the
+repeat by URL key is orders of magnitude cheaper than content hashing.
+
+Canonicalization is a fixed regex chain applied in order —
+
+1. drop the fragment (``#...``),
+2. drop ``utm_*`` tracking parameters (each with its trailing ``&``),
+3. strip dangling ``?`` / ``&`` separators left behind,
+4. lowercase the scheme-and-host prefix (the part up to the first
+   ``/`` after ``://``; the path stays case-sensitive per RFC 3986),
+5. strip a ``www.`` host prefix,
+6. strip one trailing ``/``
+
+— expressed once as polars expressions (vectorized, no Python row
+loop) and once as the byte-identical DuckDB ``regexp_replace`` chain
+(:func:`sql_url_norm_ctes`), so the oracle reproduces every value.
+
+The ``documents`` test table carries no URL column, so the query layer
+derives one deterministically from ``(doc_id, source)`` — the SAME
+arithmetic expression in both engines (:func:`derive_url_expr` /
+``RAW_URL_SQL``) — exercising every rule: mixed-case scheme, ``www.``
+and upper-case hosts, tracking params, fragments, trailing slashes,
+and genuine key collisions: path = ``doc_id % 7``, so every source with
+more than 14 documents MUST contain true URL duplicates by pigeonhole
+(7 paths x 2 normalized suffix classes), independent of how doc_ids are
+assigned to sources — the 500-row sf0.01 grading table carries hundreds.
+
+Scale shape: ONE keyed exchange on a coarse vectorized url-hash bucket
+(every copy of a normalized URL lands in one bucket, so the in-bucket
+first-occurrence scan is globally correct; CLAUDE.md bucket rule), and
+the domain rollup rides the same exchange with an in-bucket combiner —
+the final ``groupby(domain)`` moves O(domains x buckets) rows only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from neuscraper_ray.config import NUM_BUCKETS
+
+# ---------------------------------------------------------- derivation
+
+RAW_URL_SQL = """
+CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+CASE WHEN doc_id % 3 = 0 THEN 'www.' || source
+     WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END ||
+'.example.com/d/' || CAST(doc_id % 7 AS VARCHAR) ||
+CASE doc_id % 4 WHEN 0 THEN '/' WHEN 1 THEN '?utm_source=feed&page=2'
+     WHEN 2 THEN '#sec' ELSE '' END
+""".strip()
+
+
+def derive_url_expr():
+    """Polars twin of ``RAW_URL_SQL`` over (doc_id, source) columns."""
+    import polars as pl
+
+    scheme = (
+        pl.when(pl.col("doc_id") % 7 == 0)
+        .then(pl.lit("HTTPS://"))
+        .otherwise(pl.lit("https://"))
+    )
+    host = (
+        pl.when(pl.col("doc_id") % 3 == 0)
+        .then(pl.lit("www.") + pl.col("source"))
+        .when(pl.col("doc_id") % 5 == 0)
+        .then(pl.col("source").str.to_uppercase())
+        .otherwise(pl.col("source"))
+    )
+    suffix = (
+        pl.when(pl.col("doc_id") % 4 == 0)
+        .then(pl.lit("/"))
+        .when(pl.col("doc_id") % 4 == 1)
+        .then(pl.lit("?utm_source=feed&page=2"))
+        .when(pl.col("doc_id") % 4 == 2)
+        .then(pl.lit("#sec"))
+        .otherwise(pl.lit(""))
+    )
+    return (
+        scheme
+        + host
+        + pl.lit(".example.com/d/")
+        + (pl.col("doc_id") % 7).cast(pl.String)
+        + suffix
+    )
+
+
+# ------------------------------------------------------ normalization
+
+
+def normalize_url_expr(col):
+    """Polars expression canonicalizing a URL string column (rules 1-6
+    above). ``str.replace`` = first occurrence = DuckDB
+    ``regexp_replace`` without 'g'; ``replace_all`` = with 'g'."""
+    u = col.str.replace(r"#.*$", "")
+    u = u.str.replace_all(r"utm_[A-Za-z0-9_]*=[^&#]*&?", "")
+    u = u.str.replace(r"[?&]+$", "")
+    prefix = u.str.extract(r"^([^/]*//[^/]*)", 1).fill_null("")
+    u = prefix.str.to_lowercase() + u.str.slice(prefix.str.len_bytes())
+    return u.str.replace(r"://www\.", "://").str.replace(r"/$", "")
+
+
+def sql_url_norm_ctes(from_table: str = "documents") -> str:
+    """The DuckDB CTE chain producing (doc_id, url_norm) — regex-for-
+    regex the twin of :func:`normalize_url_expr` over ``RAW_URL_SQL``.
+    Ends with CTE ``normed(doc_id, url_norm)``."""
+    return f"""
+raw AS (SELECT doc_id, {RAW_URL_SQL} AS u FROM {from_table}),
+s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM raw),
+s2 AS (SELECT doc_id, regexp_replace(
+         regexp_replace(u, 'utm_[A-Za-z0-9_]*=[^&#]*&?', '', 'g'),
+         '[?&]+$', '') AS u FROM s1),
+s3 AS (SELECT doc_id,
+         lower(regexp_extract(u, '^[^/]*//[^/]*'))
+           || substr(u, length(regexp_extract(u, '^[^/]*//[^/]*')) + 1) AS u
+       FROM s2),
+normed AS (SELECT doc_id,
+         regexp_replace(regexp_replace(u, '://www\\.', '://'), '/$', '')
+           AS url_norm FROM s3)
+""".strip()
+
+
+# ------------------------------------------------------------ operators
+
+
+def _normed_bucketed(ds: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
+    """(doc_id, url_norm, hb): derive + canonicalize per batch, bucket
+    on the normalized url's seeded hash."""
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import str_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        pf = pl.from_arrow(t.select(["doc_id", "source"]))
+        pf = pf.with_columns(derive_url_expr().alias("u"))
+        pf = pf.select(
+            pl.col("doc_id"), normalize_url_expr(pl.col("u")).alias("url_norm")
+        )
+        out = pf.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("url_norm", pa.string())])
+        )
+        hb = str_buckets(out.column("url_norm"), num_buckets)
+        return out.append_column("hb", pa.array(hb, pa.int32()))
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def url_dedup(ds: ray.data.Dataset, num_buckets: int = NUM_BUCKETS) -> ray.data.Dataset:
+    """-> (doc_id, url_norm, keep) for EVERY input doc; keep is True on
+    the minimum doc_id per normalized URL (deterministic under any
+    partitioning / task order)."""
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url_norm", "doc_id"], kind="mergesort")
+        df = df.assign(keep=~df["url_norm"].duplicated().to_numpy())
+        return df[["doc_id", "url_norm", "keep"]]
+
+    return (
+        _normed_bucketed(ds, num_buckets)
+        .groupby("hb")
+        .map_groups(mark, batch_format="pandas")
+    )
+
+
+def domain_stats(ds: ray.data.Dataset, num_buckets: int = NUM_BUCKETS) -> pd.DataFrame:
+    """Per-domain crawl report over canonicalized URLs: doc count,
+    distinct-URL count, and URL-duplication rate (fixed-point e4 so
+    the oracle matches bit-for-bit). Distinct-per-domain is exact with
+    no distinct-shuffle: each normalized URL lives in exactly one hash
+    bucket, so in-bucket ``nunique`` partials sum to the global count.
+    """
+    from ray.data.aggregate import Sum
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dom = df["url_norm"].str.extract(r"://([^/]*)", expand=False)
+        g = (
+            pd.DataFrame({"domain": dom, "url_norm": df["url_norm"]})
+            .groupby("domain", sort=False)
+            .agg(n_docs=("url_norm", "size"), n_unique_urls=("url_norm", "nunique"))
+            .reset_index()
+        )
+        return g
+
+    agg = (
+        _normed_bucketed(ds, num_buckets)
+        .groupby("hb")
+        .map_groups(bucket_partial, batch_format="pandas")
+        .groupby("domain")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_unique_urls", alias_name="n_unique_urls"),
+        )
+    )
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["n_unique_urls"] = df["n_unique_urls"].astype("int64")
+    df["dup_rate_e4"] = ((df["n_docs"] - df["n_unique_urls"]) * 10000) // df["n_docs"]
+    return df[["domain", "n_docs", "n_unique_urls", "dup_rate_e4"]]

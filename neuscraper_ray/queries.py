@@ -129,6 +129,35 @@ def docs_line_dedup_apply(sf_dir: str):
     return line_dedup_apply(ds, id_col="doc_id", text_col="text")
 
 
+def docs_url_dedup(sf_dir: str):
+    """URL-level deduplication — the cheap first dedup pass of a crawl
+    pipeline (before any content hashing): canonicalize each document's
+    URL (fragment / utm-param / case / www. / trailing-slash rules, see
+    functions/urls.py) and keep the minimum doc_id per normalized URL.
+    SQL-verified regex-for-regex. The documents table has no URL column
+    so one is derived deterministically from (doc_id, source) — the
+    same expression in both engines — with planted collisions. ONE
+    keyed exchange on a coarse url-hash bucket; text never moves."""
+    from neuscraper_ray.functions.urls import url_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return url_dedup(ds)
+
+
+def docs_domain_stats(sf_dir: str):
+    """Per-domain crawl report over canonicalized URLs: doc count,
+    exact distinct-URL count and URL-duplication rate per host. The
+    rollup a 100-TB crawl needs before deciding per-domain crawl
+    budgets. Exact distinct with no extra shuffle: rides the url-hash
+    bucket exchange (a URL lives in exactly one bucket), in-bucket
+    nunique partials sum to the global count, final groupby moves
+    O(domains x buckets) rows. SQL-verified."""
+    from neuscraper_ray.functions.urls import domain_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return domain_stats(ds)
+
+
 def docs_lang_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     agg = ds.groupby("lang").aggregate(
@@ -3819,6 +3848,8 @@ ALL_QUERIES = {
     "docs_exact_dedup_fp": docs_exact_dedup_fp,
     "docs_line_dedup": docs_line_dedup,
     "docs_line_dedup_apply": docs_line_dedup_apply,
+    "docs_url_dedup": docs_url_dedup,
+    "docs_domain_stats": docs_domain_stats,
     "docs_lang_stats": docs_lang_stats,
     "docs_word_stats": docs_word_stats,
     "docs_repetition_stats": docs_repetition_stats,

@@ -826,3 +826,99 @@ def test_line_dedup_apply_planted_multiline():
     assert want[2] == (3, 2, "gamma delta\nunique two")
     assert want[6] == (1, 0, "")
     assert want[7] == (2, 1, "zeta")
+
+
+def test_url_normalize_rules():
+    """Each canonicalization rule on a handcrafted URL, plus the
+    case-sensitivity boundary: host lowercases, path does not."""
+    import polars as pl
+
+    from neuscraper_ray.functions.urls import normalize_url_expr
+
+    cases = {
+        # fragment dropped
+        "https://a.com/p#frag": "https://a.com/p",
+        # utm_* params dropped with their '&'; '?' stripped when empty
+        "https://a.com/p?utm_source=x&utm_medium=y": "https://a.com/p",
+        "https://a.com/p?utm_source=x&page=2": "https://a.com/p?page=2",
+        "https://a.com/p?page=2&utm_source=x": "https://a.com/p?page=2",
+        # scheme+host lowercased, path case preserved
+        "HTTPS://WWW.Ex.COM/CaseSensitive/Path": "https://ex.com/CaseSensitive/Path",
+        # www. stripped, trailing slash stripped
+        "https://www.a.com/": "https://a.com",
+        "https://a.com/p/": "https://a.com/p",
+        # all rules at once
+        "HTTP://WWW.A.com/D/9?utm_x=1#top": "http://a.com/D/9",
+        # already canonical: unchanged
+        "https://a.com/p?page=2": "https://a.com/p?page=2",
+    }
+    got = (
+        pl.DataFrame({"u": list(cases)})
+        .select(normalize_url_expr(pl.col("u")).alias("n"))["n"]
+        .to_list()
+    )
+    assert got == list(cases.values())
+
+
+def test_url_dedup_and_domain_stats_planted():
+    """url_dedup keeps exactly the min doc_id per normalized URL at any
+    bucket count; domain_stats' distinct counts match a brute-force
+    recount."""
+    import pandas as pd
+    import polars as pl
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.urls import (
+        derive_url_expr,
+        domain_stats,
+        normalize_url_expr,
+        url_dedup,
+    )
+
+    n = 600
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(["web", "wiki", "news"][i % 3] for i in range(n)),
+        }
+    )
+    truth = (
+        pl.from_arrow(tbl)
+        .with_columns(derive_url_expr().alias("u"))
+        .with_columns(normalize_url_expr(pl.col("u")).alias("url_norm"))
+        .to_pandas()
+    )
+    # planted collisions exist (doc_id % 7 plus case/slash variants)
+    assert truth["url_norm"].duplicated().any()
+    keep_ids = set(truth.groupby("url_norm")["doc_id"].min())
+
+    for nb in (1, 7):
+        out = (
+            url_dedup(ray.data.from_arrow(tbl), num_buckets=nb)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == n
+        assert out["url_norm"].tolist() == truth["url_norm"].tolist()
+        assert set(out.loc[out["keep"], "doc_id"]) == keep_ids
+
+    truth["domain"] = truth["url_norm"].str.extract(r"://([^/]*)", expand=False)
+    want = (
+        truth.groupby("domain")
+        .agg(n_docs=("url_norm", "size"), n_unique_urls=("url_norm", "nunique"))
+        .reset_index()
+    )
+    got = (
+        domain_stats(ray.data.from_arrow(tbl), num_buckets=7)
+        .sort_values("domain")
+        .reset_index(drop=True)
+    )
+    want = want.sort_values("domain").reset_index(drop=True)
+    assert got["domain"].tolist() == want["domain"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["n_unique_urls"].tolist() == want["n_unique_urls"].tolist()
+    assert (
+        got["dup_rate_e4"]
+        == (want["n_docs"] - want["n_unique_urls"]) * 10000 // want["n_docs"]
+    ).all()
