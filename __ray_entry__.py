@@ -241,6 +241,55 @@ def oracle_sql() -> dict[str, str]:
                 AS dup_line_ppm
             FROM documents d LEFT JOIN p USING (doc_id)
         """,
+        "docs_boilerplate_lines": """
+            WITH ls AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM documents
+            ),
+            l0 AS (
+              SELECT doc_id, unnest(list_transform(range(len(ls)),
+                k -> struct_pack(li := k, raw := ls[(k+1)::BIGINT]))) AS s
+              FROM ls
+            ),
+            fl AS (
+              SELECT doc_id, s.li AS line_idx,
+                trim(s.raw, ' ' || chr(9) || chr(13)) AS line
+              FROM l0
+            ),
+            nz AS (SELECT * FROM fl WHERE line <> ''),
+            bl AS (
+              SELECT line, count(DISTINCT doc_id)::BIGINT AS nd
+              FROM nz GROUP BY line
+            ),
+            mk AS (
+              SELECT nz.doc_id, nz.line_idx, nz.line,
+                (b.nd >= 2) AS boiler
+              FROM nz JOIN bl b ON nz.line = b.line
+            ),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_lines,
+                sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+                coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+                  chr(10) ORDER BY line_idx), '') AS text_clean
+              FROM mk GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+              coalesce(a.n_boiler, 0)::BIGINT AS n_boiler,
+              coalesce(a.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "docs_incremental_dedup": """
+            WITH oldh AS (
+              SELECT DISTINCT md5(text) AS h FROM documents
+              WHERE CAST(substr(source, 4) AS BIGINT) % 2 = 0
+            ),
+            newd AS (
+              SELECT doc_id, source, md5(text) AS h FROM documents
+              WHERE CAST(substr(source, 4) AS BIGINT) % 2 = 1
+            )
+            SELECT doc_id, source FROM newd n
+            WHERE NOT EXISTS (SELECT 1 FROM oldh o WHERE o.h = n.h)
+        """,
         "docs_line_dedup_apply": """
             WITH ls AS (
               SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents

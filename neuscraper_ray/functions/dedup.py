@@ -343,6 +343,191 @@ def line_dedup_apply(
     )
 
 
+def boilerplate_lines_apply(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = "source",
+    min_docs: int = 2,
+    num_buckets: int = NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Boilerplate-line removal (CCNet §3.1 / RefinedWeb "remove
+    frequent lines"): a trimmed non-empty line that occurs in
+    >= ``min_docs`` DISTINCT documents of the same scope is boilerplate
+    — nav bars, cookie banners, footers — and EVERY occurrence is
+    removed. Scope is ``source_col`` (per-domain template text) or the
+    whole corpus when ``source_col=None`` (the CCNet/RefinedWeb
+    crawl-wide frequency rule). Unlike :func:`line_dedup_apply` (first
+    occurrence wins) this keeps NO occurrence, which is the semantics a
+    crawl pipeline wants for template text: the first copy of a cookie
+    banner is exactly as worthless as the thousandth.
+    -> ``(id_col, n_lines, n_boiler, text_clean)`` for EVERY input doc
+    (0/0/'' for docs with no non-empty lines).
+
+    Scale shape: identical two-exchange topology to
+    :func:`line_dedup_apply` — lines extracted with pyarrow kernels,
+    ONE exchange keyed on a coarse LINE-text-hash bucket (all copies of
+    a line land in one bucket regardless of scope, so the in-bucket
+    per-(scope, line) distinct-doc count is globally correct), ONE
+    exchange keyed on doc id to reassemble. Per-domain frequency needs
+    no per-domain shuffle. Text lines move once; nothing is
+    driver-side.
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.joins import _bucket_i64, str_buckets
+
+    group_cols = ["line"] if source_col is None else [source_col, "line"]
+
+    def linify(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(batch.column(text_col), "\n").combine_chunks()
+        offs = lines.offsets.to_numpy()
+        flat = lines.values
+        parents = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        line_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1].astype(np.int64), np.diff(offs)
+        )
+        trimmed = pc.utf8_trim(flat, LINE_STRIP)
+        keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy()
+        cols = {id_col: pa.array(ids[parents[keep]], pa.int64())}
+        if source_col is not None:
+            srcs = batch.column(source_col).to_numpy(zero_copy_only=False)
+            cols[source_col] = pa.array(srcs[parents[keep]], pa.string())
+        cols["line_idx"] = pa.array(line_idx[keep], pa.int64())
+        cols["line"] = trimmed.filter(pa.array(keep))
+        out = pa.table(cols)
+        hb = str_buckets(out.column("line"), num_buckets)
+        out = out.append_column("hb", pa.array(hb, pa.int32()))
+        n = len(batch)
+        scols = {id_col: batch.column(id_col)}
+        if source_col is not None:
+            scols[source_col] = pa.array([""] * n, pa.string())
+        scols["line_idx"] = pa.array(np.full(n, -1, dtype=np.int64))
+        scols["line"] = pa.array([""] * n, pa.string())
+        scols["hb"] = pa.array(np.zeros(n, dtype=np.int32))
+        return pa.concat_tables([out, pa.table(scols)])
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        pf = pl.from_pandas(df)
+        real = pf.filter(pl.col("line_idx") >= 0).with_columns(
+            (
+                pl.col(id_col).n_unique().over(group_cols)
+                < min_docs
+            ).alias("keep")
+        )
+        sent = pf.filter(pl.col("line_idx") < 0).with_columns(
+            pl.lit(True).alias("keep")
+        )
+        out = pl.concat([real, sent]).to_pandas()
+        out["db"] = _bucket_i64(out[id_col].to_numpy(), num_buckets)
+        return out[[id_col, "line_idx", "line", "keep", "db"]]
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        pf = pl.from_pandas(df)
+        real = pf.filter(pl.col("line_idx") >= 0)
+        stats = real.group_by(id_col).agg(
+            pl.len().cast(pl.Int64).alias("n_lines"),
+            (pl.len() - pl.col("keep").sum()).cast(pl.Int64).alias("n_boiler"),
+        )
+        txt = (
+            real.filter(pl.col("keep"))
+            .sort([id_col, "line_idx"])
+            .group_by(id_col, maintain_order=True)
+            .agg(pl.col("line").str.join("\n").alias("text_clean"))
+        )
+        out = (
+            pf.filter(pl.col("line_idx") < 0)
+            .select(id_col)
+            .unique()
+            .join(stats, on=id_col, how="left")
+            .join(txt, on=id_col, how="left")
+            .with_columns(
+                pl.col("n_lines").fill_null(0),
+                pl.col("n_boiler").fill_null(0),
+                pl.col("text_clean").fill_null(""),
+            )
+        )
+        return out.to_pandas()
+
+    return (
+        ds.map_batches(linify, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("db")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------- snapshot-incremental
+
+
+def snapshot_anti_dedup(
+    ds_new: ray.data.Dataset,
+    ds_old: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_col: str = "source",
+    num_buckets: int = NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Incremental (snapshot-over-snapshot) exact dedup: keep only the
+    rows of ``ds_new`` whose content hash does NOT appear anywhere in
+    ``ds_old`` — the CommonCrawl-style "dedup this month's crawl
+    against everything already ingested" pass.
+    -> ``(id_col, keep_col)`` of the surviving new docs.
+
+    Scale shape: BOTH snapshots may be 100-TB-sized, so neither side is
+    broadcast. Each side is reduced to (id, md5, side) in a vectorized
+    ``map_batches`` projection — the text never moves — then ONE keyed
+    exchange on a coarse md5 bucket co-locates every copy of a hash,
+    and the in-bucket anti-join is a vectorized ``isin`` against that
+    bucket's old-side hashes. The exchange carries ~50 bytes/doc
+    regardless of doc size. (At extreme old-snapshot scale a per-bucket
+    Bloom built from the old side — ``functions/sketch.py:bloom`` — can
+    prefilter the new side before the exact in-bucket check; the exact
+    pass here is the correctness anchor.)
+    """
+
+    def project(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            hs = [
+                hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in batch.column(text_col).to_pylist()
+            ]
+            hb = np.fromiter(
+                (int(s[:4], 16) % num_buckets for s in hs),
+                dtype=np.int32,
+                count=len(hs),
+            )
+            n = len(batch)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col)
+                    if side
+                    else pa.array(np.full(n, -1, dtype=np.int64)),
+                    keep_col: batch.column(keep_col)
+                    if side
+                    else pa.array([""] * n, pa.string()),
+                    "h": pa.array(hs, pa.string()),
+                    "hb": pa.array(hb),
+                    "side": pa.array(np.full(n, side, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        new = df[df["side"] == 1]
+        old_h = df.loc[df["side"] == 0, "h"]
+        return new.loc[~new["h"].isin(old_h), [id_col, keep_col]]
+
+    both = ds_new.map_batches(project(1), batch_format="pyarrow").union(
+        ds_old.map_batches(project(0), batch_format="pyarrow")
+    )
+    return both.groupby("hb").map_groups(anti, batch_format="pandas")
+
+
 # ------------------------------------------------------------- minhash
 
 

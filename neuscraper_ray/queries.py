@@ -129,6 +129,58 @@ def docs_line_dedup_apply(sf_dir: str):
     return line_dedup_apply(ds, id_col="doc_id", text_col="text")
 
 
+def docs_boilerplate_lines(sf_dir: str):
+    """Boilerplate-line removal (CCNet/RefinedWeb "frequent lines"
+    rule, crawl-wide scope): a trimmed line shared by >=2 distinct
+    docs anywhere in the corpus is template text; EVERY occurrence is
+    removed. Distinct from docs_line_dedup_apply (first occurrence
+    wins): NO copy survives. SQL-verified; the same two-exchange
+    line-granularity topology (see
+    functions/dedup.py:boilerplate_lines_apply — which also takes a
+    source_col for the per-domain template variant, pinned on planted
+    docs in tests/test_functions.py). The synthetic corpus is
+    single-line so boilerplate == whole-text dup groups here (8 fire
+    at sf0.1)."""
+    from neuscraper_ray.functions.dedup import boilerplate_lines_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return boilerplate_lines_apply(ds, source_col=None, min_docs=2)
+
+
+def _snapshot_parity_filter(want: int):
+    """Vectorized source-parity split (srcN: N even = prior snapshot,
+    N odd = new crawl) — the deterministic snapshot boundary both
+    engines share; SQL twin CAST(substr(source, 4) AS BIGINT) % 2."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        nums = pc.cast(
+            pc.utf8_slice_codeunits(t.column("source"), 3, 2**30), pa.int64()
+        )
+        return t.filter(pc.equal(pc.bit_wise_and(nums, 1), want))
+
+    return fn
+
+
+def docs_incremental_dedup(sf_dir: str):
+    """Snapshot-over-snapshot exact dedup: keep the new crawl's docs
+    (odd-numbered sources) whose content hash appears nowhere in the
+    prior snapshot (even-numbered sources) — the ingest-time dedup
+    pass a rolling 100-TB crawl runs every cycle. SQL-verified
+    (md5 anti-join). Neither side is broadcast: one keyed exchange of
+    (id, md5) rows, in-bucket vectorized isin; text never moves (see
+    functions/dedup.py:snapshot_anti_dedup)."""
+    from neuscraper_ray.functions.dedup import snapshot_anti_dedup
+
+    new = _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        _snapshot_parity_filter(1), batch_format="pyarrow"
+    )
+    old = _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        _snapshot_parity_filter(0), batch_format="pyarrow"
+    )
+    return snapshot_anti_dedup(new, old)
+
+
 def docs_url_dedup(sf_dir: str):
     """URL-level deduplication — the cheap first dedup pass of a crawl
     pipeline (before any content hashing): canonicalize each document's
@@ -3848,6 +3900,8 @@ ALL_QUERIES = {
     "docs_exact_dedup_fp": docs_exact_dedup_fp,
     "docs_line_dedup": docs_line_dedup,
     "docs_line_dedup_apply": docs_line_dedup_apply,
+    "docs_boilerplate_lines": docs_boilerplate_lines,
+    "docs_incremental_dedup": docs_incremental_dedup,
     "docs_url_dedup": docs_url_dedup,
     "docs_domain_stats": docs_domain_stats,
     "docs_lang_stats": docs_lang_stats,

@@ -828,6 +828,114 @@ def test_line_dedup_apply_planted_multiline():
     assert want[7] == (2, 1, "zeta")
 
 
+def test_boilerplate_lines_planted_multiline():
+    """Per-source boilerplate removal on planted multi-line docs: a
+    line shared by >=2 distinct docs of one source loses EVERY copy
+    (unlike line-dedup's first-wins); the same line in a different
+    source survives; a doc's own repeats alone are NOT boilerplate
+    (distinct-doc count, not occurrence count); bucket-count
+    invariance. Verified against a brute-force mirror."""
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.dedup import (
+        LINE_STRIP,
+        boilerplate_lines_apply,
+    )
+
+    docs = {
+        # source A: "cookie banner" in docs 1+2 -> boilerplate
+        1: ("A", "cookie banner\nalpha body\ncookie banner"),
+        2: ("A", "  cookie banner \nbeta body"),
+        # own-repeat only: NOT boilerplate (1 distinct doc)
+        3: ("A", "self repeat\nself repeat\ngamma body"),
+        # source B: same banner text, only ONE doc here -> survives
+        4: ("B", "cookie banner\ndelta body"),
+        5: ("B", ""),  # line-less doc still in output
+        6: ("B", "\t \r\n"),  # whitespace-only lines
+    }
+    tbl = pa.table(
+        {
+            "doc_id": list(docs),
+            "source": [docs[k][0] for k in docs],
+            "text": [docs[k][1] for k in docs],
+        }
+    )
+
+    # brute-force mirror: distinct-doc counts per (source, line)
+    from collections import defaultdict
+
+    nd: dict[tuple, set] = defaultdict(set)
+    for did, (src, text) in docs.items():
+        for ln in text.split("\n"):
+            t = ln.strip(LINE_STRIP)
+            if t:
+                nd[(src, t)].add(did)
+    want = {}
+    for did, (src, text) in docs.items():
+        lines = [t for t in (ln.strip(LINE_STRIP) for ln in text.split("\n")) if t]
+        kept = [t for t in lines if len(nd[(src, t)]) < 2]
+        want[did] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+
+    for nb in (1, 4):
+        out = (
+            boilerplate_lines_apply(ray.data.from_arrow(tbl), num_buckets=nb)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == sorted(docs)
+        for _, r in out.iterrows():
+            nl, nb_, txt = want[r["doc_id"]]
+            assert (r["n_lines"], r["n_boiler"], r["text_clean"]) == (nl, nb_, txt)
+    # the planted facts themselves
+    assert want[1] == (3, 2, "alpha body")
+    assert want[2] == (2, 1, "beta body")
+    assert want[3] == (3, 0, "self repeat\nself repeat\ngamma body")
+    assert want[4] == (2, 0, "cookie banner\ndelta body")
+    assert want[5] == (0, 0, "")
+    assert want[6] == (0, 0, "")
+
+
+def test_snapshot_anti_dedup_planted():
+    """Incremental dedup on planted snapshots: new docs whose exact
+    text exists in the old snapshot drop; new-only dups of each other
+    BOTH survive (the pass is against the prior snapshot, not
+    within-crawl); empty old snapshot keeps everything."""
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.dedup import snapshot_anti_dedup
+
+    old = pa.table(
+        {
+            "doc_id": [1, 2],
+            "source": ["old", "old"],
+            "text": ["seen before", "also seen"],
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "source": ["new"] * 4,
+            "text": ["seen before", "fresh text", "fresh twin", "fresh twin"],
+        }
+    )
+    out = (
+        snapshot_anti_dedup(
+            ray.data.from_arrow(new), ray.data.from_arrow(old), num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [11, 12, 13]
+    # empty old side: everything survives
+    out2 = snapshot_anti_dedup(
+        ray.data.from_arrow(new),
+        ray.data.from_arrow(old.slice(0, 0)),
+        num_buckets=4,
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == [10, 11, 12, 13]
+
+
 def test_url_normalize_rules():
     """Each canonicalization rule on a handcrafted URL, plus the
     case-sensitivity boundary: host lowercases, path does not."""
