@@ -774,6 +774,13 @@ def oracle_sql() -> dict[str, str]:
         #   sketch — approximate by construction (relative error
         #   <= 2^-11); the bound is pinned in tests/test_functions.py
         #   and the query emits value_exact next to value_sketch.
+        # - docs_quality_model: fastText-style NB quality classifier
+        #   distilled from the heuristic rules — the log-odds weights
+        #   depend on corpus-wide counts through float log, so no SQL
+        #   twin (the teacher docs_quality_filter is the SQL-anchored
+        #   path); determinism across partitionings, signal direction
+        #   on planted docs and distillation agreement >= teacher base
+        #   rate are pinned in tests/test_functions.py.
         # - docs_cms_heavy_hitters: count-min sketch — approximate by
         #   construction (bounded overestimate); the CM bound and the
         #   exact counts are pinned in tests/test_functions.py, and the

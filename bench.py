@@ -120,7 +120,10 @@ def _run_bench() -> dict:
         "docs_bigram_lm_score",
         "docs_chunk_dedup",
         "docs_line_dedup_apply",
+        "docs_boilerplate_lines",
+        "docs_incremental_dedup",
         "docs_quality_filter",
+        "docs_quality_model",
         "docs_repetition_stats",
         "docs_lm_buckets",
         "events_asof_join",

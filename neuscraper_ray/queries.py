@@ -181,6 +181,23 @@ def docs_incremental_dedup(sf_dir: str):
     return snapshot_anti_dedup(new, old)
 
 
+def docs_quality_model(sf_dir: str):
+    """Learned quality classifier (fastText-style hashed-ngram model,
+    GPT-3/LLaMA recipe) DISTILLED from the Gopher/C4 rule filter:
+    train a closed-form Naive Bayes on heuristic labels in one
+    zero-shuffle counting pass, score every doc with the broadcast
+    model in a second. Rows-only (the model's log-odds depend on
+    corpus counts through float log — no SQL twin; the teacher
+    docs_quality_filter IS the SQL-anchored path); determinism,
+    signal direction and distillation agreement >= teacher base rate
+    are pinned in tests/test_functions.py. Output carries
+    teacher_keep so agreement is visible in the result."""
+    from neuscraper_ray.functions.quality_model import quality_model_distill
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return quality_model_distill(ds)
+
+
 def docs_url_dedup(sf_dir: str):
     """URL-level deduplication — the cheap first dedup pass of a crawl
     pipeline (before any content hashing): canonicalize each document's
@@ -3901,6 +3918,7 @@ ALL_QUERIES = {
     "docs_line_dedup": docs_line_dedup,
     "docs_line_dedup_apply": docs_line_dedup_apply,
     "docs_boilerplate_lines": docs_boilerplate_lines,
+    "docs_quality_model": docs_quality_model,
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_url_dedup": docs_url_dedup,
     "docs_domain_stats": docs_domain_stats,

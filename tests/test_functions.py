@@ -936,6 +936,110 @@ def test_snapshot_anti_dedup_planted():
     assert sorted(out2["doc_id"]) == [10, 11, 12, 13]
 
 
+def test_quality_model_distills_planted_signal():
+    """NB quality classifier on planted docs with an unambiguous
+    signal: positives are stopword-rich English sentences, negatives
+    are symbol soup. The trained model must (a) separate held-out
+    planted docs by logit sign, (b) agree with the teacher at >= its
+    base rate on the training docs, and (c) be bit-identical across
+    partitionings (the count fold is associative; scoring is
+    per-doc-order-fixed)."""
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.quality_model import (
+        quality_nb_score,
+        quality_nb_train,
+    )
+
+    good = [
+        "the cat sat on the mat and it was a good day for all of them",
+        "she said that the work would be done when the team had the time",
+        "it is a truth that all of the people in the town knew the story",
+        "he put the book on the shelf and went out of the door to the car",
+    ] * 3
+    bad = [
+        "@@## $$%% ^^&& **(( ))__ ++== {{}} ||\\\\ ::;; <<>>",
+        "zxqv jkwp mnbv qwer asdf zxcv tyui ghjk bnml poiu",
+        "1234 5678 9012 3456 7890 1111 2222 3333 4444 5555",
+        "xyzzy plugh foobar bazqux quux corge grault garply waldo",
+    ] * 3
+    texts = good + bad
+    labels = np.array([True] * len(good) + [False] * len(bad))
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+    def label_fn(ts):
+        # teacher = membership in the planted positive set
+        return np.array([t in set(good) for t in ts])
+
+    models = []
+    for nblocks in (1, 4):
+        ds = ray.data.from_arrow(tbl)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        models.append(quality_nb_train(ds, label_fn))
+    # (c) partitioning-invariant model
+    assert np.array_equal(models[0]["w"], models[1]["w"])
+    assert models[0]["prior"] == models[1]["prior"]
+
+    model = models[0]
+    held_out = pa.table(
+        {
+            "doc_id": [100, 101],
+            "text": [
+                "the dog sat by the door and all was good in the house",
+                "qqww eerr ttyy uuii ddff gghh jjkk llzz xxcc vvbb",
+            ],
+        }
+    )
+    out = (
+        quality_nb_score(ray.data.from_arrow(held_out), model)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # (a) held-out separation by sign
+    assert out["nb_logit"].iloc[0] > 0 > out["nb_logit"].iloc[1]
+
+    scored = (
+        quality_nb_score(
+            ray.data.from_arrow(tbl), model, label_fn=label_fn
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # (b) agreement >= teacher base rate (majority-class floor)
+    agree = (scored["pred_keep"] == scored["teacher_keep"]).mean()
+    base = max(labels.mean(), 1 - labels.mean())
+    assert agree >= base, (agree, base)
+    # scoring determinism across partitionings
+    scored4 = (
+        quality_nb_score(
+            ray.data.from_arrow(tbl).repartition(4), model, label_fn=label_fn
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert np.array_equal(
+        scored["nb_logit"].to_numpy(), scored4["nb_logit"].to_numpy()
+    )
+
+
+def test_quality_model_distill_corpus_agreement():
+    """End-to-end distillation over the sf0.001 documents table: the
+    student must beat the majority-class floor of its teacher (the
+    Gopher/C4 rule filter) — i.e. actually learn the rule structure,
+    not collapse to one class."""
+    from neuscraper_ray.functions.quality_model import quality_model_distill
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = quality_model_distill(ds).to_pandas()
+    base = max(out["teacher_keep"].mean(), 1 - out["teacher_keep"].mean())
+    agree = (out["pred_keep"] == out["teacher_keep"]).mean()
+    assert agree >= base, (agree, base)
+    assert out["pred_keep"].nunique() == 2  # did not collapse
+
+
 def test_url_normalize_rules():
     """Each canonicalization rule on a handcrafted URL, plus the
     case-sensitivity boundary: host lowercases, path does not."""
