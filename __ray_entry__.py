@@ -781,6 +781,12 @@ def oracle_sql() -> dict[str, str]:
         #   path); determinism across partitionings, signal direction
         #   on planted docs and distillation agreement >= teacher base
         #   rate are pinned in tests/test_functions.py.
+        # - docs_bpe_merges / docs_bpe_tokenize: BPE tokenizer training
+        #   is an iterative merge fixpoint (and tokenize depends on the
+        #   trained table) — no SQL twin; the first merges are pinned
+        #   by hand on the classic Sennrich vocab, and determinism /
+        #   partitioning-invariance / top_v-invariance / encode
+        #   semantics are pinned in tests/test_functions.py.
         # - docs_cms_heavy_hitters: count-min sketch — approximate by
         #   construction (bounded overestimate); the CM bound and the
         #   exact counts are pinned in tests/test_functions.py, and the

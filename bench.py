@@ -124,6 +124,7 @@ def _run_bench() -> dict:
         "docs_incremental_dedup",
         "docs_quality_filter",
         "docs_quality_model",
+        "docs_bpe_merges",
         "docs_repetition_stats",
         "docs_lm_buckets",
         "events_asof_join",

@@ -198,6 +198,36 @@ def docs_quality_model(sf_dir: str):
     return quality_model_distill(ds)
 
 
+def docs_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (Sennrich 2016, the HF-tokenizers shape):
+    ONE distributed corpus pass builds the top-V (word, count) table
+    (combiner + term-bucket + per-bucket top-V — the vocabulary never
+    leaves the cluster unbounded), then the merge loop runs driver-side
+    on that corpus-size-independent table. 64 character-level merges,
+    deterministic tie-break (count desc, lexicographic pair asc).
+    Rows-only (iterative fixpoint, no SQL twin); first merges pinned by
+    hand on the classic Sennrich vocab, partitioning- and
+    top_v-invariance pinned in tests/test_functions.py."""
+    from neuscraper_ray.functions.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_train(ds, n_merges=64)
+
+
+def docs_bpe_tokenize(sf_dir: str):
+    """Train-then-apply BPE token counting: the 64-merge table from
+    docs_bpe_merges, applied in a zero-shuffle broadcast-merges pass —
+    per-doc whitespace-word count and BPE token count (the
+    tokens-per-doc number a training-data budget is written in).
+    Rows-only (depends on the trained merge table); encode semantics
+    pinned on hand-computed words in tests/test_functions.py."""
+    from neuscraper_ray.functions.bpe import bpe_encode_lens, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(_read(sf_dir, "documents", ["text"]), n_merges=64)
+    return bpe_encode_lens(ds, merges)
+
+
 def docs_url_dedup(sf_dir: str):
     """URL-level deduplication — the cheap first dedup pass of a crawl
     pipeline (before any content hashing): canonicalize each document's
@@ -3919,6 +3949,8 @@ ALL_QUERIES = {
     "docs_line_dedup_apply": docs_line_dedup_apply,
     "docs_boilerplate_lines": docs_boilerplate_lines,
     "docs_quality_model": docs_quality_model,
+    "docs_bpe_merges": docs_bpe_merges,
+    "docs_bpe_tokenize": docs_bpe_tokenize,
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_url_dedup": docs_url_dedup,
     "docs_domain_stats": docs_domain_stats,

@@ -1040,6 +1040,106 @@ def test_quality_model_distill_corpus_agreement():
     assert out["pred_keep"].nunique() == 2  # did not collapse
 
 
+def test_bpe_train_sennrich_vocab_and_invariance():
+    """BPE on the classic Sennrich (2016) example vocabulary: the
+    first merges are hand-pinned; the distributed train is invariant
+    to partitioning and to top_v once top_v covers the vocab; the
+    merge loop matches a brute-force mirror merge-for-merge."""
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.bpe import (
+        bpe_train,
+        bpe_train_from_vocab,
+    )
+
+    # corpus realizing the classic vocab {low:5, lower:2, newest:6, widest:3}
+    texts = (["low"] * 5) + (["lower"] * 2) + (["newest"] * 6) + (["widest"] * 3)
+    tbl = pa.table({"text": texts})
+
+    # hand-pinned head of the merge sequence:
+    # pair counts round 1: ('e','s')=9, ('s','t')=9, ('l','o')=7, ...
+    # tie ('e','s') vs ('s','t') at 9 -> lexicographic: ('e','s') wins;
+    # round 2: ('es','t')=9 wins; round 3: ('l','o')=7.
+    m = bpe_train_from_vocab(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], n_merges=3
+    )
+    assert m == [("e", "s", 9), ("es", "t", 9), ("l", "o", 7)]
+
+    outs = []
+    for nblocks in (1, 4):
+        ds = ray.data.from_arrow(tbl)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        outs.append(bpe_train(ds, n_merges=10, top_v=2**16))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # top_v-invariance when top_v covers the distinct words (4 here)
+    small = bpe_train(ray.data.from_arrow(tbl), n_merges=10, top_v=4)
+    pd.testing.assert_frame_equal(outs[0], small)
+    assert outs[0]["rank"].tolist() == list(range(len(outs[0])))
+    assert outs[0].iloc[0][["left", "right"]].tolist() == ["e", "s"]
+
+    # brute-force mirror over raw python
+    from collections import Counter
+
+    vocab = Counter(texts)
+    mirror = bpe_train_from_vocab(sorted(vocab.items()), n_merges=10)
+    got = list(zip(outs[0]["left"], outs[0]["right"], outs[0]["pair_count"]))
+    assert got == mirror
+
+
+def test_bpe_encode_lens_semantics():
+    """Encode with a known merge table: token counts per word are the
+    greedy lowest-rank application; unmerged chars count singly; empty
+    docs -> 0/0."""
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.bpe import (
+        _encode_word,
+        bpe_encode_lens,
+        bpe_train_from_vocab,
+    )
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe_train_from_vocab(vocab, n_merges=5)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    # merges (deterministic): es, est, lo, low, ew
+    assert [m[:2] for m in merges] == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w"),
+    ]
+    assert _encode_word("newest", ranks) == 3  # n + ew + est
+    assert _encode_word("low", ranks) == 1
+    assert _encode_word("xyz", ranks) == 3  # nothing merges
+
+    import pandas as pd_
+
+    mdf = pd_.DataFrame(
+        {
+            "rank": range(len(merges)),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+            "pair_count": [m[2] for m in merges],
+        }
+    )
+    tbl = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["low newest", "", "xyz low low"],
+        }
+    )
+    out = (
+        bpe_encode_lens(ray.data.from_arrow(tbl), mdf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_words"].tolist() == [2, 0, 3]
+    assert out["n_tokens_bpe"].tolist() == [
+        _encode_word("low", ranks) + _encode_word("newest", ranks),
+        0,
+        _encode_word("xyz", ranks) + 2 * _encode_word("low", ranks),
+    ]
+
+
 def test_url_normalize_rules():
     """Each canonicalization rule on a handcrafted URL, plus the
     case-sensitivity boundary: host lowercases, path does not."""
