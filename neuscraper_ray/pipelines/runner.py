@@ -107,7 +107,16 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="input pages dir (parquet shards)")
     p.add_argument("--output", required=True, help="output dir (partitioned parquet)")
-    p.add_argument("--files-per-partition", type=int, default=32)
+    p.add_argument(
+        "--files-per-partition",
+        type=int,
+        default=32,
+        help="resume granularity vs throughput: each partition is its "
+        "own Ray Data pipeline with a measured ~13 s startup/ramp tax "
+        "(BASELINE.md round-4), so size partitions to >= ~2 min of "
+        "useful work — natural at production shard sizes, but small "
+        "inputs want a larger value (the 1M-page bench uses 63).",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args()
 
