@@ -675,6 +675,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_start, duration_us, n_events FROM g "
             "ORDER BY duration_us DESC, user_id ASC, session_start ASC LIMIT 10"
         ),
+        "q12_priority_class": (
+            "SELECT l_returnflag, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END)::BIGINT AS high_line_count, "
+            "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END)::BIGINT AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "q19_disjunctive_revenue": (
+            "SELECT sum(round(l_extendedprice * 100)::BIGINT * "
+            "(100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4, "
+            "count(*)::BIGINT AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 1 AND 15) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 "
+            "AND l_quantity BETWEEN 10 AND 30) "
+            "OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 40 "
+            "AND l_quantity BETWEEN 20 AND 50)"
+        ),
+        "q21_sole_failing_supplier": (
+            "WITH o AS (SELECT l_orderkey, "
+            "count(DISTINCT l_suppkey) AS n_supp, "
+            "count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) "
+            "AS n_rsupp FROM lineitem GROUP BY l_orderkey), "
+            "w AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l "
+            "JOIN o USING (l_orderkey) "
+            "WHERE l.l_returnflag = 'R' AND o.n_supp >= 2 AND o.n_rsupp = 1) "
+            "SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait "
+            "FROM w JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY s_suppkey, s_name "
+            "ORDER BY numwait DESC, s_suppkey ASC LIMIT 20"
+        ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 2) AS sum_qty, "

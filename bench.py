@@ -134,6 +134,8 @@ def _run_bench() -> dict:
         "q13_customer_distribution",
         "q10_returned_revenue",
         "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q21_sole_failing_supplier",
         "events_funnel",
         "docs_contamination_frac",
         "docs_dsir_weights",

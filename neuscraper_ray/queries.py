@@ -3940,6 +3940,199 @@ def q22_idle_rich_customers(sf_dir: str):
     return df[["n_name", "n_custs", "total_acctbal_e2"]]
 
 
+def q12_priority_class(sf_dir: str):
+    """TPC-H-Q12-shape conditional aggregation over a fact-fact join:
+    per lineitem return flag, how many lines belong to high-priority
+    orders (1-URGENT / 2-HIGH) vs low — Q12's CASE-sum split, keyed on
+    l_returnflag because the synthetic lineitem has no l_shipmode.
+
+    Scale shape: ONE co-partitioned ``hash_join`` exchange on orderkey
+    (both sides fact-sized — no broadcast), then the joined stream
+    collapses to (flag, high, low) combiner partials per output block;
+    the final groupby sees 3 x n_blocks rows."""
+    from neuscraper_ray.functions.joins import hash_join
+
+    li_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_returnflag", pa.string())]
+    )
+    o_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+    )
+    joined = hash_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=li_schema,
+        right_schema=o_schema,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hi = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"], "hi": hi})
+        out = g.groupby("l_returnflag", sort=False).agg(
+            high_line_count=("hi", "sum"), low_line_count=("hi", "size")
+        )
+        out["low_line_count"] -= out["high_line_count"]
+        return out.reset_index()
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("l_returnflag", as_index=False)[
+        ["high_line_count", "low_line_count"]
+    ].sum()
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q19_GROUPS = [  # (brand, max_size, qty_lo, qty_hi) — OR of conjunctions
+    ("Brand#1", 10, 1, 15),
+    ("Brand#3", 25, 10, 30),
+    ("Brand#5", 40, 20, 50),
+]
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H-Q19-shape disjunctive predicate over a part x lineitem
+    join: revenue from lines matching ANY of three (brand, size-range,
+    quantity-range) conjunction groups — the classic OR-of-ANDs that
+    defeats naive predicate pushdown.
+
+    Scale shape: the part side is pre-filtered to the three brands AT
+    THE READ and broadcast as a sorted (partkey -> group) array (the
+    Q17 brand-partkeys precedent; 3/|brands| of the part table), so
+    the lineitem pass is ZERO-shuffle: per batch one searchsorted
+    membership probe, per-group quantity bounds applied vectorized,
+    one (revenue_e4, n_lines) partial row out."""
+    import pyarrow.compute as pc
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=pc.field("p_brand").isin([g[0] for g in Q19_GROUPS]),
+    ).to_pandas()
+    brand_idx = {g[0]: i for i, g in enumerate(Q19_GROUPS)}
+    sizes = np.array([g[1] for g in Q19_GROUPS], dtype=np.int64)
+    part["grp"] = part["p_brand"].map(brand_idx).astype(np.int64)
+    part = part[part["p_size"].to_numpy() <= sizes[part["grp"].to_numpy()]]
+    order = np.argsort(part["p_partkey"].to_numpy(), kind="stable")
+    keys_ref = ray.put(part["p_partkey"].to_numpy()[order])
+    grp_ref = ray.put(part["grp"].to_numpy()[order])
+    qlo = np.array([g[2] for g in Q19_GROUPS], dtype=np.float64)
+    qhi = np.array([g[3] for g in Q19_GROUPS], dtype=np.float64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys, grp = ray.get(keys_ref), ray.get(grp_ref)
+        pk = df["l_partkey"].to_numpy()
+        if len(keys):
+            pos_c = np.minimum(np.searchsorted(keys, pk), len(keys) - 1)
+            m = keys[pos_c] == pk
+        else:
+            pos_c = np.zeros(len(pk), dtype=np.int64)
+            m = np.zeros(len(pk), dtype=bool)
+        qty = df["l_quantity"].to_numpy()
+        g = np.where(m, grp[pos_c], 0)
+        m &= (qty >= qlo[g]) & (qty <= qhi[g])
+        cents = np.rint(df["l_extendedprice"].to_numpy()[m] * 100).astype(
+            np.int64
+        )
+        dpct = np.rint(df["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "revenue_e4": [int((cents * (100 - dpct)).sum())],
+                "n_lines": [int(m.sum())],
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_e4": pd.Series([parts["revenue_e4"].sum()], dtype="int64"),
+            "n_lines": pd.Series([parts["n_lines"].sum()], dtype="int64"),
+        }
+    )
+
+
+def q21_sole_failing_supplier(sf_dir: str):
+    """TPC-H-Q21-shape "suppliers who kept orders waiting": for each
+    supplier, count multi-supplier orders where THIS supplier had a
+    returned line ('R' — the synthetic lineitem has no
+    commit/receipt dates) and NO other supplier did — Q21's correlated
+    EXISTS + NOT-EXISTS pair. Top 20 by count desc, suppkey asc.
+
+    Scale shape: ONE keyed exchange on an orderkey bucket co-locates
+    every line of an order, so both correlated subqueries become
+    vectorized in-bucket group facts (distinct suppliers per order,
+    distinct R-suppliers per order); qualifying (suppkey, n) partials
+    take a SECOND tiny exchange on a coarse suppkey bucket with
+    per-bucket top-k (a suppkey's total lives in one bucket), so the
+    driver folds k x B rows; names attach from the broadcast supplier
+    dimension."""
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import _bucket_i64
+
+    def widen(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy()
+        return t.append_column(
+            "ob", pa.array(_bucket_i64(ok, NUM_BUCKETS), pa.int32())
+        )
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        pf = pl.from_pandas(df)
+        facts = pf.group_by("l_orderkey").agg(
+            pl.col("l_suppkey").n_unique().alias("n_supp"),
+            pl.col("l_suppkey")
+            .filter(pl.col("l_returnflag") == "R")
+            .n_unique()
+            .alias("n_rsupp"),
+        )
+        w = (
+            pf.filter(pl.col("l_returnflag") == "R")
+            .select(["l_orderkey", "l_suppkey"])
+            .unique()
+            .join(facts, on="l_orderkey")
+            .filter((pl.col("n_supp") >= 2) & (pl.col("n_rsupp") == 1))
+            .group_by("l_suppkey")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        out = w.to_pandas()
+        out["sb"] = (out["l_suppkey"].to_numpy() % 16).astype(np.int32)
+        return out
+
+    K = 20
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey", sort=False, as_index=False)["n"].sum()
+        g = g.sort_values(
+            ["n", "l_suppkey"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(K)
+
+    cand = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+        .map_batches(widen, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(per_order, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["n", "l_suppkey"], ascending=[False, True], kind="mergesort"
+    ).head(K)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = cand.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out["numwait"] = out["n"].astype("int64")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
+
+
 ALL_QUERIES = {
     "docs_token_count": docs_token_count,
     "docs_content_hash": docs_content_hash,
@@ -4005,6 +4198,9 @@ ALL_QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "q13_customer_distribution": q13_customer_distribution,
+    "q12_priority_class": q12_priority_class,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_sole_failing_supplier": q21_sole_failing_supplier,
     "events_purchase_view_window": events_purchase_view_window,
     "docs_posting_lists": docs_posting_lists,
     "docs_length_deciles": docs_length_deciles,
