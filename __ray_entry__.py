@@ -88,6 +88,19 @@ def oracle_sql() -> dict[str, str]:
             "(" + polyhash.sql_fingerprint("doc_id::VARCHAR") + ") % 100 < "
             "((CAST(substring(source, 4) AS BIGINT) % 4) + 1) * 25"
         ),
+        "docs_token_budget_mix": (
+            "WITH qf AS (" + _heur.sql_quality_filter("documents") + "), "
+            "t AS (SELECT d.doc_id, d.source, q.keep, q.n_words "
+            "FROM documents d JOIN qf q USING (doc_id)), "
+            "s AS (SELECT source, sum(n_words)::BIGINT AS total "
+            "FROM t GROUP BY source), "
+            "c AS (SELECT t.*, sum(n_words) OVER (PARTITION BY source "
+            "ORDER BY keep DESC, n_words DESC, doc_id ASC "
+            "ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM t) "
+            "SELECT c.doc_id, c.source, c.keep::BIGINT AS keep_rule, "
+            "c.n_words::BIGINT AS n_tokens "
+            "FROM c JOIN s USING (source) WHERE cum * 10 <= total * 4"
+        ),
         "docs_quality_percentile": (
             "WITH h AS (SELECT n_chars AS v, count(*)::BIGINT AS c "
             "FROM documents GROUP BY 1), "

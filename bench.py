@@ -125,6 +125,7 @@ def _run_bench() -> dict:
         "docs_quality_filter",
         "docs_quality_model",
         "docs_bpe_merges",
+        "docs_token_budget_mix",
         "docs_repetition_stats",
         "docs_lm_buckets",
         "events_asof_join",

@@ -3003,6 +3003,184 @@ def docs_contamination_frac(sf_dir: str):
     return contamination_frac(ds, ray.put(bench))
 
 
+def docs_token_budget_mix(sf_dir: str):
+    """Exact per-source token-budget selection — the data-recipe
+    assembly op (Dolma/LLaMA-style mixing): each source contributes
+    its docs in priority order (rule-keep desc, token count desc,
+    doc_id asc) until the INCLUSIVE cumulative token count exceeds 40%
+    of that source's total tokens — i.e. a distributed
+    ``QUALIFY sum(...) OVER (PARTITION BY source ORDER BY ...) <=
+    budget``, SQL-verified against the window-function twin. Tokens
+    and keep come from the shared quality-filter contract
+    (``stages/heuristics``), so the ordering is integer-exact in both
+    engines; the budget compare is cross-multiplied (``10*cum <=
+    4*total`` — int64-safe to ~9e17 corpus tokens).
+
+    Scale shape (NO per-source group ever materializes — a source is
+    5 TB at the target scale): pass 1 reduces the corpus to a
+    (source, keep, n_words, id-range-bucket) COUNT histogram via
+    combiner partials + one tiny keyed merge; the driver orders the
+    per-(source, keep, n_words) groups, cumsums group token totals,
+    and classifies each group FULL / NONE / PARTIAL — at most ONE
+    partial group per source (cum is monotone, so after the first
+    overshoot every later group fails). Only partial-group members
+    need a doc_id rank, and their per-range-bucket member counts are
+    already in the histogram, so rank = broadcast bucket offset +
+    in-bucket position. Pass 2 recomputes the per-doc stats
+    (recompute-over-materialize), merges the broadcast decision table,
+    and ONE spread keyed exchange emits kept rows — full-group rows on
+    a splitmix doc bucket (pass-through), partial-group rows
+    co-located per (group, range-bucket) for the rank test. Text
+    never moves."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    max_id = int(_read(sf_dir, "documents", ["doc_id"]).max("doc_id") or 0)
+    return token_budget_mix(ds, max_id=max_id)
+
+
+def token_budget_mix(
+    ds: ray.data.Dataset, max_id: int | None = None
+) -> ray.data.Dataset:
+    """The distributed QUALIFY-cumsum engine under
+    ``docs_token_budget_mix`` (see its docstring for the scale story);
+    takes any Dataset with (doc_id, text, source). Planted edge cases
+    (boundary ties, zero-token docs, all-zero sources, repartition
+    invariance) are pinned in tests/test_functions.py."""
+    from neuscraper_ray.functions.joins import _bucket_i64, str_buckets
+    from neuscraper_ray.stages.heuristics import drop_reasons
+
+    RB = 64
+    if max_id is None:
+        max_id = int(ds.max("doc_id") or 0)
+    span = max_id + 1
+
+    def stats(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_pylist()
+        reason, nw = drop_reasons(texts)
+        ids = t.column("doc_id").to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids.astype(np.int64),
+                "source": t.column("source").to_pandas(),
+                "keep": (reason == "").astype(np.int64),
+                "nw": nw.astype(np.int64),
+                "rb": (ids * RB // span).astype(np.int64),
+            }
+        )
+
+    def hist_partial(t: pa.Table) -> pd.DataFrame:
+        g = (
+            stats(t)
+            .groupby(["source", "keep", "nw", "rb"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["hb"] = _bucket_i64(g["nw"].to_numpy(), 16)
+        return g
+
+    def hist_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["source", "keep", "nw", "rb"], sort=False, as_index=False
+        )["n"].sum()
+
+    h = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(hist_merge, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # driver: group classification (bounded rows: sources x nw values)
+    grp = h.groupby(["source", "keep", "nw"], as_index=False)["n"].sum()
+    grp["tok"] = grp["n"] * grp["nw"]
+    total = grp.groupby("source")["tok"].transform("sum")
+    grp = grp.assign(total=total).sort_values(
+        ["source", "keep", "nw"], ascending=[True, False, False],
+        kind="mergesort",
+    )
+    cum_after = grp.groupby("source")["tok"].cumsum()
+    grp["cum_before"] = cum_after - grp["tok"]
+    fits_all = 10 * cum_after <= 4 * grp["total"]
+    nw_pos = grp["nw"] > 0
+    k_max = np.where(
+        nw_pos,
+        (4 * grp["total"] - 10 * grp["cum_before"]) // np.maximum(10 * grp["nw"], 1),
+        np.where(10 * grp["cum_before"] <= 4 * grp["total"], grp["n"], 0),
+    ).astype(np.int64)
+    k_max = np.clip(k_max, 0, grp["n"].to_numpy())
+    # code: 0 = FULL, 1 = PARTIAL, 2 = NONE
+    grp["code"] = np.where(fits_all, 0, np.where(k_max > 0, 1, 2)).astype(
+        np.int64
+    )
+    grp["k_max"] = np.where(grp["code"] == 0, grp["n"], k_max)
+    dec = grp[["source", "keep", "nw", "code", "k_max"]].reset_index(drop=True)
+
+    # per-(partial group, rb) exclusive rank offsets from the histogram
+    part_keys = dec[dec["code"] == 1][["source", "keep", "nw"]]
+    ph = h.merge(part_keys, on=["source", "keep", "nw"])
+    ph = ph.sort_values(["source", "keep", "nw", "rb"], kind="mergesort")
+    ph["offset"] = ph.groupby(["source", "keep", "nw"])["n"].cumsum() - ph["n"]
+    offsets = {
+        (r.source, int(r.keep), int(r.nw), int(r.rb)): int(r.offset)
+        for r in ph.itertuples()
+    }
+    dec_ref = ray.put(dec)
+    off_ref = ray.put(offsets)
+    NBX = NUM_BUCKETS
+
+    def route(t: pa.Table) -> pd.DataFrame:
+        df = stats(t).merge(
+            ray.get(dec_ref), on=["source", "keep", "nw"], how="left"
+        )
+        df = df[df["code"] != 2]
+        sb = str_buckets(pa.array(df["source"]), 1_000_003).astype(np.int64)
+        group_b = _bucket_i64(
+            sb * 1315423911 + df["nw"].to_numpy() * 64 + df["rb"].to_numpy(),
+            NBX,
+        )
+        spread_b = _bucket_i64(df["doc_id"].to_numpy(), NBX)
+        df["xb"] = np.where(df["code"] == 1, group_b, spread_b).astype(
+            np.int32
+        )
+        return df[["doc_id", "source", "keep", "nw", "rb", "code", "k_max", "xb"]]
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        full = df[df["code"] == 0]
+        part = df[df["code"] == 1]
+        kept = [full]
+        if len(part):
+            part = part.sort_values(
+                ["source", "keep", "nw", "rb", "doc_id"], kind="mergesort"
+            )
+            rank_in_rb = part.groupby(
+                ["source", "keep", "nw", "rb"], sort=False
+            ).cumcount()
+            base = np.fromiter(
+                (
+                    off[(r.source, int(r.keep), int(r.nw), int(r.rb))]
+                    for r in part.itertuples()
+                ),
+                dtype=np.int64,
+                count=len(part),
+            )
+            kept.append(part[(base + rank_in_rb.to_numpy()) < part["k_max"].to_numpy()])
+        out = pd.concat(kept, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "source": out["source"],
+                "keep_rule": out["keep"].astype("int64"),
+                "n_tokens": out["nw"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("xb")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
 def docs_mix_sources(sf_dir: str):
     """Data mixing with per-source target rates (the multi-corpus
     weighting step of LLM pretraining — e.g. upweight curated sources,
@@ -4169,6 +4347,7 @@ ALL_QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "docs_contamination_frac": docs_contamination_frac,
     "docs_mix_sources": docs_mix_sources,
+    "docs_token_budget_mix": docs_token_budget_mix,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_quality_percentile": docs_quality_percentile,
     "docs_semantic_dedup": docs_semantic_dedup,

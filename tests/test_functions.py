@@ -1140,6 +1140,86 @@ def test_bpe_encode_lens_semantics():
     ]
 
 
+def test_token_budget_mix_planted_edges():
+    """Token-budget mixing on planted docs exercising every branch of
+    the group classifier: a source whose boundary group is cut
+    mid-ties (PARTIAL — smallest doc_ids win), a source whose groups
+    all fit (FULL), zero-token docs, an all-zero-token source
+    (total=0 -> everything passes), and repartition invariance.
+    Verified against a brute-force pandas mirror of the SQL window
+    (cum inclusive, ORDER BY keep DESC, n_words DESC, doc_id ASC,
+    10*cum <= 4*total)."""
+    import pyarrow as pa
+
+    from neuscraper_ray.queries import token_budget_mix
+    from neuscraper_ray.stages.heuristics import drop_reasons
+
+    rows = []
+    # source A: five identical-length docs -> the 40% cut lands mid-tie
+    base = "the cat sat on the mat and it was a good day for all of them here"
+    for i in range(5):
+        rows.append((i, "A", base))
+    # source B: one long + one short passing doc; long alone overshoots
+    rows.append((10, "B", " ".join(["the a of to and it is was for on"] * 8)))
+    rows.append((11, "B", base))
+    # source C: all zero-token docs (total = 0 -> all pass)
+    rows.append((20, "C", ""))
+    rows.append((21, "C", "   "))
+    # source D: a zero-token doc beside real ones
+    rows.append((30, "D", base))
+    rows.append((31, "D", ""))
+    tbl = pa.table(
+        {
+            "doc_id": [r[0] for r in rows],
+            "source": [r[1] for r in rows],
+            "text": [r[2] for r in rows],
+        }
+    )
+
+    # brute-force mirror of the SQL window semantics
+    reason, nw = drop_reasons([r[2] for r in rows])
+    m = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "source": [r[1] for r in rows],
+            "keep": (reason == "").astype("int64"),
+            "nw": nw.astype("int64"),
+        }
+    )
+    m = m.sort_values(
+        ["source", "keep", "nw", "doc_id"],
+        ascending=[True, False, False, True],
+        kind="mergesort",
+    )
+    m["cum"] = m.groupby("source")["nw"].cumsum()
+    m["total"] = m.groupby("source")["nw"].transform("sum")
+    want = m[10 * m["cum"] <= 4 * m["total"]]
+
+    for nblocks in (1, 3):
+        ds = ray.data.from_arrow(tbl)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        got = (
+            token_budget_mix(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == sorted(want["doc_id"].tolist())
+        chk = want.set_index("doc_id")
+        for _, r in got.iterrows():
+            assert r["keep_rule"] == chk.loc[r["doc_id"], "keep"]
+            assert r["n_tokens"] == chk.loc[r["doc_id"], "nw"]
+    # the planted facts: A cut mid-tie keeps its two smallest doc_ids,
+    # C keeps everything (zero total), D keeps the real doc + the
+    # zero-token doc never (it sorts last but adds 0 -> passes iff
+    # cum_before <= limit, which the long doc already exceeded)
+    kept_by_src = want.groupby("source")["doc_id"].apply(list).to_dict()
+    assert kept_by_src["A"] == [0, 1]
+    assert kept_by_src["C"] == [20, 21]
+    assert 10 in kept_by_src.get("B", []) or 11 in kept_by_src.get("B", [])
+
+
 def test_url_normalize_rules():
     """Each canonicalization rule on a handcrafted URL, plus the
     case-sensitivity boundary: host lowercases, path does not."""
