@@ -39,15 +39,16 @@ def _partition_metrics(part_dir: str) -> dict:
     """Metrics for one committed partition, read from its parquet files."""
     import pyarrow.dataset as pads
 
+    import pyarrow.compute as pc
+
     dset = pads.dataset(part_dir, format="parquet")
     table = dset.to_table(columns=["keep", "drop_reason", "n_kept"])
     n = table.num_rows
-    keep = table.column("keep").to_pylist()
-    reasons = table.column("drop_reason").to_pylist()
-    hist: dict[str, int] = {}
-    for r in reasons:
-        key = r if r else "kept"
-        hist[key] = hist.get(key, 0) + 1
+    keep = pc.sum(table.column("keep")).as_py() or 0
+    vc = pc.value_counts(table.column("drop_reason"))
+    hist = {
+        (d["values"] or "kept"): d["counts"] for d in vc.to_pylist()
+    }
     bytes_out = sum(
         os.path.getsize(os.path.join(part_dir, f))
         for f in os.listdir(part_dir)
@@ -55,7 +56,7 @@ def _partition_metrics(part_dir: str) -> dict:
     )
     return {
         "n_docs": n,
-        "n_kept": sum(keep),
+        "n_kept": int(keep),
         "drop_reasons": hist,
         "bytes_out": bytes_out,
     }
