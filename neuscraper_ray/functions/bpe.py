@@ -58,7 +58,7 @@ def corpus_word_counts(
         pf = pl.from_arrow(t.select([text_col]))
         agg = (
             pf.select(pl.col(text_col).str.extract_all(WORD_RE).alias("w"))
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls("w")
             .group_by("w")
             .agg(pl.len().alias("n"))
@@ -190,7 +190,7 @@ def bpe_encode_lens(
         w = (
             pf.select(pl.col(text_col).str.extract_all(WORD_RE).alias("w"))
             .with_row_index("i")
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls("w")
         )
         words = w["w"].to_numpy()

@@ -146,7 +146,7 @@ def cms_term_counts(
             pf.select(
                 pl.col(column).str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
             )
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls("w")
         )
         agg = w.group_by("w").agg(pl.len().alias("n"))

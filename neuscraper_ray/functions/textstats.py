@@ -94,7 +94,7 @@ def _distinct_lower_fields(texts: list[str]) -> np.ndarray:
         pl.DataFrame({"t": pl.Series(texts, dtype=pl.String)})
         .with_row_index("i")
         .select(["i", pl.col("t").str.split(" ").alias("w")])
-        .explode("w")
+        .explode("w", empty_as_null=True)
         .group_by("i")
         .agg(pl.col("w").str.to_lowercase().n_unique().alias("nd"))
     )

@@ -688,7 +688,7 @@ def _term_counts(
                 pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
             )
             .with_row_index("i")
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls("w")
         )
         if lower:
@@ -806,7 +806,7 @@ def docs_bigram_pmi(sf_dir: str):
                 pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
             )
             .with_row_index("i")
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls("w")
             .with_columns(pl.col("w").str.to_lowercase())
         )
@@ -899,7 +899,7 @@ def docs_bigram_lm_score(sf_dir: str):
                 pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
             )
             .with_row_index("i")
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls("w")
             .with_columns(pl.col("w").str.to_lowercase())
         )
@@ -964,7 +964,7 @@ def docs_bigram_lm_score(sf_dir: str):
                 pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
             )
             .with_row_index("i")
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls("w")
             .with_columns(pl.col("w").str.to_lowercase())
         )
@@ -1031,7 +1031,7 @@ def docs_chunk_dedup(sf_dir: str, chunk_words: int = 10):
                 "doc_id",
                 pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w"),
             )
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls("w")
             .with_columns(
                 (pl.int_range(0, pl.len()).over("doc_id") // chunk_words).alias(
@@ -1146,7 +1146,7 @@ def docs_lm_buckets(sf_dir: str):
                 pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w")
             )
             .with_row_index("i")
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls("w")
             .with_columns(pl.col("w").str.to_lowercase())
             .join(vdf, left_on="w", right_on="term", how="left")
@@ -1238,7 +1238,7 @@ def docs_tfidf_terms(sf_dir: str):
                 pl.col("doc_id"),
                 pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w"),
             )
-            .explode("w")
+            .explode("w", empty_as_null=True)
             .drop_nulls("w")
             .with_columns(pl.col("w").str.to_lowercase().alias("term"))
             .group_by(["doc_id", "term"])
@@ -2333,7 +2333,7 @@ def docs_posting_lists(sf_dir: str):
                 "doc_id",
                 pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("term"),
             )
-            .explode("term")
+            .explode("term", empty_as_null=True)
             .drop_nulls("term")
             .filter(pl.col("term").is_in(keep))
             .unique(["doc_id", "term"])

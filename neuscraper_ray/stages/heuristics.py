@@ -134,7 +134,7 @@ def _counts_vectorized(texts: list[str]) -> "np.ndarray":
     words = (
         pf.select(pl.col("text").str.extract_all(r"\S+").alias("w"))
         .with_row_index("i")
-        .explode("w")
+        .explode("w", empty_as_null=True)
         .drop_nulls("w")
     )
     agg = (
