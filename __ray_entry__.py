@@ -254,6 +254,16 @@ def oracle_sql() -> dict[str, str]:
                 AS dup_line_ppm
             FROM documents d LEFT JOIN p USING (doc_id)
         """,
+        "docs_ngram_coverage": (
+            "WITH "
+            + polyhash.sql_shingle_ctes("documents")
+            + ", c AS (SELECT s32, count(*)::BIGINT AS nd FROM shu GROUP BY s32), "
+            "p AS (SELECT shu.doc_id, count(*)::BIGINT AS n_shingles, "
+            "sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared "
+            "FROM shu JOIN c USING (s32) GROUP BY shu.doc_id) "
+            "SELECT doc_id, n_shingles, n_shared, "
+            "((n_shared * 1000000) // n_shingles)::BIGINT AS coverage_ppm FROM p"
+        ),
         "docs_boilerplate_lines": """
             WITH ls AS (
               SELECT doc_id, string_split(text, chr(10)) AS ls

@@ -528,6 +528,85 @@ def snapshot_anti_dedup(
     return both.groupby("hb").map_groups(anti, batch_format="pandas")
 
 
+def ngram_coverage_stats(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """N-gram coverage (the Lee-et-al "Deduplicating Training Data"
+    memorization signal at shingle granularity): per document, how many
+    of its DISTINCT word-3-gram shingles also occur in at least one
+    OTHER document -> ``(doc_id, n_shingles, n_shared, coverage_ppm)``
+    for EVERY doc. A doc that is a near-copy of another scores close to
+    1e6 even when no line or whole-text hash matches — the finest-grain
+    member of the dedup-statistics family (whole-doc md5 ->
+    line_dedup_stats -> this).
+
+    Shingles are the shared ``polyhash.doc_shingles32`` 32-bit
+    Mersenne-61 hashes (same values as the minhash/Jaccard family and
+    the SQL twin ``polyhash.sql_shingle_ctes``): empty docs contribute
+    the single shingle 0, docs with 0 < n < 3 words one shingle over
+    all words — so every doc has >= 1 shingle and no zero-sentinel
+    union is needed.
+
+    Scale shape (the ``line_dedup_stats`` topology at shingle
+    granularity): per-doc distinct (doc, shingle) pairs are emitted
+    vectorized, then exchanged TWICE as hash-bucketed pairs — once by
+    SHINGLE bucket (a shingle's global doc-count is decidable in-bucket
+    because equal shingles share a bucket), collapsing immediately to
+    per-(bucket, doc) partial counts, and once by DOC bucket to sum
+    partials. No per-distinct-shingle Ray group, no driver
+    materialization; text never moves past the first map."""
+    from neuscraper_ray.functions.joins import _bucket_i64
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        dw = ph.DocWords(texts)
+        sh32, sdoc = ph.doc_shingles32(dw)
+        s = sh32.astype(np.int64)
+        return pa.table(
+            {
+                id_col: ids[sdoc],
+                "s32": s,
+                "b": pa.array(_bucket_i64(s, num_buckets)),
+            }
+        )
+
+    def shingle_bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+        # pairs are (doc, shingle)-distinct, so size == distinct doc count
+        nd = df.groupby("s32", sort=False)[id_col].transform("size")
+        return (
+            df.assign(isdup=(nd >= 2).astype(np.int64))
+            .groupby(id_col, as_index=False)
+            .agg(n_shingles=("s32", "size"), n_shared=("isdup", "sum"))
+        )
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["db"] = _bucket_i64(df[id_col].to_numpy(), num_buckets)
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False).agg(
+            n_shingles=("n_shingles", "sum"), n_shared=("n_shared", "sum")
+        )
+        # every doc has >= 1 shingle, so the divide is always defined
+        g["coverage_ppm"] = (g["n_shared"].to_numpy() * 1_000_000) // g[
+            "n_shingles"
+        ].to_numpy()
+        return g[[id_col, "n_shingles", "n_shared", "coverage_ppm"]]
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(shingle_bucket_agg, batch_format="pandas")
+        .map_batches(doc_bucket, batch_format="pandas", batch_size=None)
+        .groupby("db")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------- minhash
 
 

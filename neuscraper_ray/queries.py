@@ -129,6 +129,22 @@ def docs_line_dedup_apply(sf_dir: str):
     return line_dedup_apply(ds, id_col="doc_id", text_col="text")
 
 
+def docs_ngram_coverage(sf_dir: str):
+    """N-gram coverage per document (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): the fraction of each
+    doc's distinct word-3-gram shingles that occur in >=1 other doc —
+    the finest-grain dedup statistic (whole-doc md5 -> line dedup ->
+    this), catching near-copies that share no full line. SQL-verified
+    via the shared Mersenne-61 shingle hashes
+    (polyhash.sql_shingle_ctes); two pair-shaped exchanges, no
+    per-distinct-shingle group (see
+    functions/dedup.py:ngram_coverage_stats)."""
+    from neuscraper_ray.functions.dedup import ngram_coverage_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_coverage_stats(ds, id_col="doc_id", text_col="text")
+
+
 def docs_boilerplate_lines(sf_dir: str):
     """Boilerplate-line removal (CCNet/RefinedWeb "frequent lines"
     rule, crawl-wide scope): a trimmed line shared by >=2 distinct
@@ -4319,6 +4335,7 @@ ALL_QUERIES = {
     "docs_line_dedup": docs_line_dedup,
     "docs_line_dedup_apply": docs_line_dedup_apply,
     "docs_boilerplate_lines": docs_boilerplate_lines,
+    "docs_ngram_coverage": docs_ngram_coverage,
     "docs_quality_model": docs_quality_model,
     "docs_bpe_merges": docs_bpe_merges,
     "docs_bpe_tokenize": docs_bpe_tokenize,

@@ -773,6 +773,66 @@ def test_line_dedup_stats_planted_multiline():
     assert byid.loc[4, "n_lines"] == 0 and byid.loc[5, "n_lines"] == 0
 
 
+def test_ngram_coverage_planted():
+    """N-gram coverage on planted docs: a near-copy that shares no full
+    line still scores high coverage; a unique doc scores 0; empty docs
+    get the shingle-0 convention (shared iff >=2 empty docs exist);
+    agreement with a brute-force shingle recount; bucket-count
+    invariance."""
+    import pyarrow as pa
+
+    from neuscraper_ray.functions import polyhash as ph
+    from neuscraper_ray.functions.dedup import ngram_coverage_stats
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        # near-copy of 1 with one word changed mid-way: no identical
+        # line (single-line docs differ), but most 3-grams shared
+        2: "the quick brown fox leaps over the lazy dog tonight",
+        3: "completely unrelated text about distributed dataflow engines",
+        4: "",  # empty -> shingle 0
+        5: "",  # second empty -> shingle 0 shared
+        6: "two words",  # short doc: one shingle over all words
+    }
+    tbl = pa.table({"doc_id": list(docs), "text": [docs[k] for k in docs]})
+    out = (
+        ngram_coverage_stats(ray.data.from_arrow(tbl), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 5, 6]
+
+    # brute-force recount with the shared shingle hashes
+    sets = {}
+    for k, v in docs.items():
+        sh, _ = ph.doc_shingles32(ph.DocWords([v]))
+        sets[k] = set(sh.tolist())
+    byid = out.set_index("doc_id")
+    for k, mine in sets.items():
+        shared = sum(
+            1 for s in mine if any(s in sets[o] for o in sets if o != k)
+        )
+        assert byid.loc[k, "n_shingles"] == len(mine)
+        assert byid.loc[k, "n_shared"] == shared
+        assert byid.loc[k, "coverage_ppm"] == (shared * 1_000_000) // len(mine)
+    # the near-copy pair shares most but not all shingles
+    assert 500_000 < byid.loc[1, "coverage_ppm"] < 1_000_000
+    assert byid.loc[3, "coverage_ppm"] == 0
+    # both empty docs share shingle 0 with each other
+    assert byid.loc[4, "coverage_ppm"] == 1_000_000
+    assert byid.loc[5, "coverage_ppm"] == 1_000_000
+
+    # bucket-count invariance
+    out2 = (
+        ngram_coverage_stats(ray.data.from_arrow(tbl), num_buckets=13)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out2.equals(out)
+
+
 def test_line_dedup_apply_planted_multiline():
     """APPLIED line dedup on planted multi-line docs: occurrence-level
     first-wins by (doc_id, line_idx) — including a doc's own repeats —
