@@ -370,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
             "(doc_id = min(doc_id) OVER (PARTITION BY url_norm)) AS keep "
             "FROM normed"
         ),
+        "docs_url_filter": _urls.sql_url_filter("documents"),
         "docs_domain_stats": (
             "WITH "
             + _urls.sql_url_norm_ctes("documents")

@@ -168,6 +168,103 @@ def url_dedup(ds: ray.data.Dataset, num_buckets: int = NUM_BUCKETS) -> ray.data.
     )
 
 
+BLOCK_DOMAINS = ("src2.example.com", "src13.example.com")
+"""Hard domain blocklist (RefinedWeb ships a ~4.6M-domain list; this
+deterministic stand-in hits every test scale — sources are src0..N)."""
+
+URL_FRAGMENTS = (("/d/3", 100), ("/d/5", 50), ("/d/6", 50), ("src1", 30))
+"""Weighted URL substrings (fixed-point e2), the RefinedWeb soft URL
+score: strict fragments weigh 100, soft ones less; matches add up
+(e.g. a 'src1*' host plus '/d/5' scores 80)."""
+
+KEEP_BELOW_E2 = 100
+
+
+def url_filter(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1: curated
+    domain blocklist + weighted word-fragment URL score) ->
+    ``(doc_id, url_norm, domain, blocked, score_e2, keep)`` for every
+    doc. ``keep`` = domain not blocklisted AND fragment score < 1.00.
+
+    Scale shape: ZERO shuffle — one vectorized polars pass per batch;
+    the blocklist is broadcast ONCE via ``ray.put`` and looked up with
+    ``is_in`` inside the batch fn (the production list is millions of
+    domains — per-batch reshipping would dominate). SQL twin
+    :func:`sql_url_filter` is generated from the SAME constants."""
+    import polars as pl
+
+    block_ref = ray.put(frozenset(BLOCK_DOMAINS))
+
+    def fn(t: pa.Table) -> pa.Table:
+        block = ray.get(block_ref)
+        pf = pl.from_arrow(t.select(["doc_id", "source"]))
+        pf = pf.with_columns(derive_url_expr().alias("u"))
+        pf = pf.select(
+            pl.col("doc_id"), normalize_url_expr(pl.col("u")).alias("url_norm")
+        )
+        pf = pf.with_columns(
+            pl.col("url_norm")
+            .str.extract(r"://([^/]*)", 1)
+            .fill_null("")
+            .alias("domain")
+        )
+        score = pl.lit(0, dtype=pl.Int64)
+        for frag, w in URL_FRAGMENTS:
+            score = score + pl.col("url_norm").str.contains(
+                frag, literal=True
+            ).cast(pl.Int64) * w
+        pf = pf.with_columns(
+            pl.col("domain").is_in(sorted(block)).alias("blocked"),
+            score.alias("score_e2"),
+        )
+        pf = pf.with_columns(
+            (~pl.col("blocked") & (pl.col("score_e2") < KEEP_BELOW_E2)).alias(
+                "keep"
+            )
+        )
+        return pf.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("url_norm", pa.string()),
+                    ("domain", pa.string()),
+                    ("blocked", pa.bool_()),
+                    ("score_e2", pa.int64()),
+                    ("keep", pa.bool_()),
+                ]
+            )
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_url_filter(from_table: str = "documents") -> str:
+    """DuckDB twin of :func:`url_filter`, generated from the same
+    BLOCK_DOMAINS / URL_FRAGMENTS / KEEP_BELOW_E2 constants."""
+    in_list = ", ".join(f"'{d}'" for d in BLOCK_DOMAINS)
+    score = " + ".join(
+        f"CASE WHEN position('{frag}' IN url_norm) > 0 THEN {w} ELSE 0 END"
+        for frag, w in URL_FRAGMENTS
+    )
+    return f"""
+WITH {sql_url_norm_ctes(from_table)},
+f AS (
+  SELECT doc_id, url_norm,
+    coalesce(regexp_extract(url_norm, '://([^/]*)', 1), '') AS domain
+  FROM normed
+),
+sc AS (
+  SELECT doc_id, url_norm, domain,
+    (domain IN ({in_list})) AS blocked,
+    ({score})::BIGINT AS score_e2
+  FROM f
+)
+SELECT doc_id, url_norm, domain, blocked, score_e2,
+  (NOT blocked AND score_e2 < {KEEP_BELOW_E2}) AS keep
+FROM sc
+""".strip()
+
+
 def domain_stats(ds: ray.data.Dataset, num_buckets: int = NUM_BUCKETS) -> pd.DataFrame:
     """Per-domain crawl report over canonicalized URLs: doc count,
     distinct-URL count, and URL-duplication rate (fixed-point e4 so

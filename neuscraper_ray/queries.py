@@ -259,6 +259,19 @@ def docs_url_dedup(sf_dir: str):
     return url_dedup(ds)
 
 
+def docs_url_filter(sf_dir: str):
+    """RefinedWeb URL filtering (domain blocklist + weighted fragment
+    score): the cheapest quality gate of a crawl pipeline, run before
+    any content is fetched or parsed. SQL-verified from the SAME
+    constants (functions/urls.py:url_filter / sql_url_filter).
+    Zero-shuffle: one vectorized pass, blocklist broadcast once via
+    ray.put (the production list is millions of domains)."""
+    from neuscraper_ray.functions.urls import url_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return url_filter(ds)
+
+
 def docs_domain_stats(sf_dir: str):
     """Per-domain crawl report over canonicalized URLs: doc count,
     exact distinct-URL count and URL-duplication rate per host. The
@@ -4336,6 +4349,7 @@ ALL_QUERIES = {
     "docs_line_dedup_apply": docs_line_dedup_apply,
     "docs_boilerplate_lines": docs_boilerplate_lines,
     "docs_ngram_coverage": docs_ngram_coverage,
+    "docs_url_filter": docs_url_filter,
     "docs_quality_model": docs_quality_model,
     "docs_bpe_merges": docs_bpe_merges,
     "docs_bpe_tokenize": docs_bpe_tokenize,

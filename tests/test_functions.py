@@ -1312,6 +1312,54 @@ def test_url_normalize_rules():
     assert got == list(cases.values())
 
 
+def test_url_filter_planted():
+    """url_filter semantics on planted sources: blocklisted domains are
+    blocked regardless of score, fragment weights ADD (src1* host +
+    /d/5 path = 80 keeps; + /d/3 = 130 drops), and keep is exactly
+    NOT blocked AND score < 100."""
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.urls import (
+        BLOCK_DOMAINS,
+        KEEP_BELOW_E2,
+        url_filter,
+    )
+
+    # doc_id % 7 picks the path /d/<k>; choose ids hitting each fragment
+    rows = [
+        (3, "src1"),   # /d/3 (100) + src1 host (30) = 130 -> drop
+        (5, "src1"),   # /d/5 (50) + src1 (30) = 80 -> keep
+        (10, "src0"),  # /d/3 (100) -> drop
+        (12, "src0"),  # /d/5 (50) -> keep
+        (1, "src0"),   # no fragments -> keep
+        (8, "src2"),   # blocked domain, score 0 -> drop
+        (94, "src13"),  # blocked domain -> drop
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+    out = (
+        url_filter(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert set(BLOCK_DOMAINS) == {"src2.example.com", "src13.example.com"}
+    assert out.loc[3, "score_e2"] == 130 and not out.loc[3, "keep"]
+    assert out.loc[5, "score_e2"] == 80 and out.loc[5, "keep"]
+    assert out.loc[10, "score_e2"] == 100 and not out.loc[10, "keep"]
+    assert out.loc[12, "score_e2"] == 50 and out.loc[12, "keep"]
+    assert out.loc[1, "score_e2"] == 0 and out.loc[1, "keep"]
+    assert bool(out.loc[8, "blocked"]) and not out.loc[8, "keep"]
+    assert bool(out.loc[94, "blocked"]) and not out.loc[94, "keep"]
+    # the rule, re-stated over the whole frame
+    assert (
+        out["keep"] == (~out["blocked"] & (out["score_e2"] < KEEP_BELOW_E2))
+    ).all()
+
+
 def test_url_dedup_and_domain_stats_planted():
     """url_dedup keeps exactly the min doc_id per normalized URL at any
     bucket count; domain_stats' distinct counts match a brute-force
