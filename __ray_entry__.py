@@ -769,6 +769,50 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < TIMESTAMP '1997-01-01' "
             "GROUP BY n_name"
         ),
+        "q7_volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "year(l_shipdate)::BIGINT AS l_year, "
+            "sum(round(l_extendedprice * 100)::BIGINT * "
+            "(100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4 "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY supp_nation, cust_nation, l_year "
+            "ORDER BY supp_nation, cust_nation, l_year"
+        ),
+        "q8_market_share": (
+            "WITH l AS (SELECT l_orderkey, "
+            "round(l_extendedprice * 100)::BIGINT * "
+            "(100 - round(l_discount * 100)::BIGINT) AS rev, "
+            "(sn.n_name = 'NATION_7') AS is_t "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "WHERE p_type = 'ECONOMY'), "
+            "o AS (SELECT o_orderkey, year(o_orderdate)::BIGINT AS o_year "
+            "FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01') "
+            "SELECT o_year, sum(rev)::BIGINT AS revenue_e4, "
+            "sum(CASE WHEN is_t THEN rev ELSE 0 END)::BIGINT "
+            "AS target_revenue_e4, "
+            "((sum(CASE WHEN is_t THEN rev ELSE 0 END)::HUGEINT * 1000000) "
+            "// sum(rev)::HUGEINT)::BIGINT AS mkt_share_ppm "
+            "FROM l JOIN o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o_year ORDER BY o_year"
+        ),
         "segment_order_value": (
             "SELECT c_mktsegment, count(*)::BIGINT AS n_orders, "
             "round(sum(o_totalprice), 2) AS total_value "

@@ -1734,6 +1734,331 @@ def q5_region_volume(sf_dir: str):
     return df[["n_name", "revenue_e4"]].reset_index(drop=True)
 
 
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_SHIP_LO = "1996-01-01"
+Q7_SHIP_HI = "1998-01-01"
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H-Q7-shape volume shipping: revenue flowing BETWEEN two
+    nations by (supp_nation, cust_nation, ship year) — the directional
+    pair must cross (supplier in one nation, customer in the other,
+    both directions reported separately). A new join shape vs Q5: the
+    cross-pair predicate is applied AFTER the two big joins, and the
+    group key includes a derived time dimension (ship year) carried
+    through the lineitem combiner.
+
+    Scale shape (the Q5 topology): nation/supplier broadcast once;
+    customer pre-filtered to the two nations; orders NOT date-pruned
+    (Q7 filters on ship date, an order can straddle years) but
+    projected to two columns; lineitem date-pruned AT THE READ and
+    collapsed to per-batch (orderkey, s_nat, year, rev) combiner
+    partials before its join. Exactly TWO all-to-all exchanges, then a
+    <= 2x2xyears-group aggregate over combiner partials."""
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    nation = _read(sf_dir, "nation", None).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    name2key = dict(zip(nation["n_name"], nation["n_nationkey"].astype(int)))
+    ka, kb = name2key[Q7_NATION_A], name2key[Q7_NATION_B]
+    pair = {ka, kb}
+    supp_nation = {
+        int(s): int(n)
+        for s, n in zip(supp["s_suppkey"], supp["s_nationkey"])
+        if int(n) in pair
+    }
+    key2name = {ka: Q7_NATION_A, kb: Q7_NATION_B}
+    dims_ref = ray.put((pair, supp_nation, key2name))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_prep(df: pd.DataFrame) -> pd.DataFrame:
+        nations, _, _ = ray.get(dims_ref)
+        df = df[df["c_nationkey"].isin(nations)].copy()
+        df["c_nationkey"] = df["c_nationkey"].astype(np.int64)
+        return df
+
+    cust_f = cust.map_batches(cust_prep, batch_format="pandas")
+
+    ordercust = hash_join(
+        orders,
+        cust_f,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_orderkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= pd.Timestamp(Q7_SHIP_LO))
+        & (pc.field("l_shipdate") < pd.Timestamp(Q7_SHIP_HI)),
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        _, s2n, _ = ray.get(dims_ref)
+        s_nat = df["l_suppkey"].map(s2n)
+        keep = s_nat.notna().to_numpy()
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy()[keep],
+                "s_nat": s_nat.to_numpy()[keep].astype(np.int64),
+                "l_year": df["l_shipdate"].dt.year.to_numpy()[keep].astype(np.int64),
+                "rev_e4": (cents * (100 - dpct))[keep],
+            }
+        )
+        return out.groupby(
+            ["l_orderkey", "s_nat", "l_year"], sort=False, as_index=False
+        )["rev_e4"].sum()
+
+    li_partials = li.map_batches(li_prep, batch_format="pandas")
+
+    joined = hash_join(
+        li_partials,
+        ordercust,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("s_nat", pa.int64()),
+                ("l_year", pa.int64()),
+                ("rev_e4", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("c_nationkey", pa.int64()),
+            ]
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # the DIRECTIONAL cross-pair predicate: nations must differ
+        t = t.filter(pc.not_equal(t["s_nat"], t["c_nationkey"]))
+        _, _, k2n = ray.get(dims_ref)
+        df = pd.DataFrame(
+            {
+                "supp_nation": pd.Series(
+                    t["s_nat"].to_numpy(zero_copy_only=False)
+                ).map(k2n),
+                "cust_nation": pd.Series(
+                    t["c_nationkey"].to_numpy(zero_copy_only=False)
+                ).map(k2n),
+                "l_year": t["l_year"].to_numpy(zero_copy_only=False),
+                "rev": t["rev_e4"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(
+                ["supp_nation", "cust_nation", "l_year"],
+                sort=False,
+                as_index=False,
+            )["rev"].sum(),
+            preserve_index=False,
+        )
+
+    partials = joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    agg = partials.groupby(["supp_nation", "cust_nation", "l_year"]).aggregate(
+        Sum("rev", alias_name="revenue_e4")
+    )
+    df = agg.to_pandas()
+    if df.empty:  # tiny scales can have no crossing pair in the window
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series(dtype=object),
+                "cust_nation": pd.Series(dtype=object),
+                "l_year": pd.Series(dtype="int64"),
+                "revenue_e4": pd.Series(dtype="int64"),
+            }
+        )
+    df["revenue_e4"] = df["revenue_e4"].astype("int64")
+    df["l_year"] = df["l_year"].astype("int64")
+    return df[
+        ["supp_nation", "cust_nation", "l_year", "revenue_e4"]
+    ].sort_values(
+        ["supp_nation", "cust_nation", "l_year"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+Q8_REGION = "ASIA"
+Q8_TARGET_NATION = "NATION_7"
+Q8_PART_TYPE = "ECONOMY"
+Q8_DATE_LO = "1996-01-01"
+Q8_DATE_HI = "1998-01-01"
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H-Q8-shape national market share: within one region's
+    customers and one part type, the target nation's suppliers' share
+    of revenue per order year — a RATIO of conditional sums per group,
+    the shape Q5/Q7 don't cover. Share is fixed-point ppm (int64 exact
+    on both engines).
+
+    Scale shape: part filtered to the type and broadcast as a partkey
+    set (the repo's Q17/Q19 disjunctive-pushdown pattern); supplier ->
+    nation broadcast; customer pre-filtered to the region's nations;
+    orders date-pruned AT THE READ; lineitem collapsed to per-batch
+    (orderkey, is_target, rev) partials before its join. TWO all-to-all
+    exchanges, then a per-year aggregate of (rev, target_rev) partials
+    — the ratio is computed once per year at the end, never per row."""
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    nation = _read(sf_dir, "nation", None).to_pandas()
+    region = _read(sf_dir, "region", None).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+
+    rkey = int(region.loc[region["r_name"] == Q8_REGION, "r_regionkey"].iloc[0])
+    region_nations = set(
+        nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    )
+    target_key = int(
+        nation.loc[nation["n_name"] == Q8_TARGET_NATION, "n_nationkey"].iloc[0]
+    )
+    target_supps = set(
+        supp.loc[supp["s_nationkey"] == target_key, "s_suppkey"].astype(int)
+    )
+    type_parts = set(part.loc[part["p_type"] == Q8_PART_TYPE, "p_partkey"].astype(int))
+    dims_ref = ray.put((region_nations, target_supps, type_parts))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= pd.Timestamp(Q8_DATE_LO))
+        & (pc.field("o_orderdate") < pd.Timestamp(Q8_DATE_HI)),
+    )
+
+    def orders_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "o_year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_prep(df: pd.DataFrame) -> pd.DataFrame:
+        nations, _, _ = ray.get(dims_ref)
+        return df.loc[df["c_nationkey"].isin(nations), ["c_custkey"]]
+
+    ordercust = hash_join(
+        orders.map_batches(orders_prep, batch_format="pandas"),
+        cust.map_batches(cust_prep, batch_format="pandas"),
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_schema=pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("o_year", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        _, tsupp, tparts = ray.get(dims_ref)
+        keep = df["l_partkey"].isin(tparts).to_numpy()
+        df = df[keep]
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(),
+                "is_target": df["l_suppkey"].isin(tsupp).to_numpy().astype(np.int64),
+                "rev_e4": cents * (100 - dpct),
+            }
+        )
+        # vectorized conditional sum (no Python lambda in the hot path)
+        t = (
+            out.assign(trev=out["rev_e4"] * out["is_target"])
+            .groupby("l_orderkey", sort=False, as_index=False)[["rev_e4", "trev"]]
+            .sum()
+        )
+        return t.rename(columns={"trev": "target_e4"})
+
+    li_partials = li.map_batches(li_prep, batch_format="pandas")
+
+    joined = hash_join(
+        li_partials,
+        ordercust,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("rev_e4", pa.int64()),
+                ("target_e4", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_year", pa.int64()),
+            ]
+        ),
+    )
+
+    def year_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_year", sort=False, as_index=False)[
+            ["rev_e4", "target_e4"]
+        ].sum()
+
+    agg = (
+        joined.map_batches(year_partial, batch_format="pandas", batch_size=None)
+        .groupby("o_year")
+        .aggregate(
+            Sum("rev_e4", alias_name="revenue_e4"),
+            Sum("target_e4", alias_name="target_revenue_e4"),
+        )
+    )
+    df = agg.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "o_year": pd.Series(dtype="int64"),
+                "revenue_e4": pd.Series(dtype="int64"),
+                "target_revenue_e4": pd.Series(dtype="int64"),
+                "mkt_share_ppm": pd.Series(dtype="int64"),
+            }
+        )
+    df["o_year"] = df["o_year"].astype("int64")
+    df["revenue_e4"] = df["revenue_e4"].astype("int64")
+    df["target_revenue_e4"] = df["target_revenue_e4"].astype("int64")
+    df["mkt_share_ppm"] = (
+        df["target_revenue_e4"].astype(object) * 1_000_000
+        // df["revenue_e4"].astype(object)
+    ).astype("int64")
+    return df[
+        ["o_year", "revenue_e4", "target_revenue_e4", "mkt_share_ppm"]
+    ].sort_values("o_year", kind="mergesort").reset_index(drop=True)
+
+
 Q3_SEGMENT = "BUILDING"
 Q3_DATE = "1997-03-15"
 
@@ -4434,6 +4759,8 @@ ALL_QUERIES = {
     "orders_monthly_growth": orders_monthly_growth,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
     "segment_order_value": segment_order_value,
     "customers_no_orders": customers_no_orders,
     "order_line_concat": order_line_concat,
