@@ -74,24 +74,58 @@ def run_partition(plan: PartitionPlan, out_dir: str, cfg: CurateConfig) -> dict:
     return metrics
 
 
+def _pin_http_fs_probe() -> None:
+    """Ray Data probes ``fsspec.implementations.http`` during every
+    read/write path resolution. When that module cannot import (no
+    aiohttp in this environment) Python re-executes the FAILED import
+    on each retry, and two overlapped partition pipelines retrying
+    concurrently can observe a partially-initialized module — a plain
+    ImportError that Ray's ``except ModuleNotFoundError`` does not
+    catch. Decide the probe once up front and pin the answer."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        from ray.data.datasource import path_util
+
+        path_util._is_http_filesystem = lambda fs: False
+
+
 def run_resumable(
     input_paths: list[str],
     out_dir: str,
     cfg: CurateConfig | None = None,
     files_per_partition: int = 32,
+    overlap: int = 2,
 ) -> dict:
-    """Run (or resume) the curation job. Returns job-level metrics."""
+    """Run (or resume) the curation job. Returns job-level metrics.
+
+    ``overlap`` partitions run concurrently (each its own Ray Data
+    streaming pipeline; the Ray scheduler interleaves their tasks).
+    One partition pipeline pays a fixed ~13 s startup/ramp/drain tax
+    (BASELINE.md round-4); overlapping two hides partition N+1's ramp
+    behind partition N's drain while keeping per-partition commit
+    points and resume granularity unchanged. Commits stay crash-safe:
+    partitions write to independent ``.tmp`` dirs and rename on
+    commit, so a crash mid-overlap loses at most ``overlap``
+    partitions of work."""
     cfg = cfg or CurateConfig()
+    _pin_http_fs_probe()
     os.makedirs(out_dir, exist_ok=True)
     removed = gc_incomplete(out_dir)
     plans = plan_partitions(input_paths, files_per_partition)
-    done = skipped = 0
-    for plan in plans:
-        if is_complete(out_dir, plan):
-            skipped += 1
-            continue
-        run_partition(plan, out_dir, cfg)
-        done += 1
+    todo = [plan for plan in plans if not is_complete(out_dir, plan)]
+    skipped = len(plans) - len(todo)
+    if overlap <= 1 or len(todo) <= 1:
+        for plan in todo:
+            run_partition(plan, out_dir, cfg)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=overlap) as ex:
+            # list() re-raises the first failure (fail the job, not
+            # silently skip a partition)
+            list(ex.map(lambda plan: run_partition(plan, out_dir, cfg), todo))
+    done = len(todo)
     from neuscraper_ray.state.manifest import aggregate_metrics
 
     agg = aggregate_metrics(out_dir)
@@ -117,6 +151,14 @@ def main() -> None:
         "(BASELINE.md round-4), so size partitions to >= ~2 min of "
         "useful work — natural at production shard sizes, but small "
         "inputs want a larger value (the 1M-page bench uses 63).",
+    )
+    p.add_argument(
+        "--overlap",
+        type=int,
+        default=2,
+        help="partitions run concurrently (hides the per-partition "
+        "pipeline ramp behind the previous partition's drain); 1 = "
+        "strictly sequential",
     )
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args()
@@ -150,7 +192,12 @@ def main() -> None:
 
     paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
     t0 = time.perf_counter()
-    agg = run_resumable(paths, args.output, files_per_partition=args.files_per_partition)
+    agg = run_resumable(
+        paths,
+        args.output,
+        files_per_partition=args.files_per_partition,
+        overlap=args.overlap,
+    )
     wall = time.perf_counter() - t0
     agg["wall_sec"] = round(wall, 2)
     if agg.get("n_docs") and wall > 0 and agg.get("partitions_run"):

@@ -64,6 +64,20 @@ def test_crash_mid_job_resumes(pages_dir, tmp_path):
     assert _digest(out) == _digest(ref)
 
 
+def test_overlap_matches_sequential(pages_dir, tmp_path):
+    """Overlapped partition pipelines (overlap=2, the default) produce
+    byte-identical output to a strictly sequential run, with the same
+    manifests/metrics — concurrency changes scheduling only."""
+    seq = str(tmp_path / "seq")
+    ov = str(tmp_path / "ov")
+    paths = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir))
+    a1 = run_resumable(paths, seq, CFG, files_per_partition=2, overlap=1)
+    a2 = run_resumable(paths, ov, CFG, files_per_partition=2, overlap=2)
+    assert a1["partitions_run"] == a2["partitions_run"] == 3
+    assert _digest(seq) == _digest(ov)
+    assert a1["n_kept"] == a2["n_kept"] and a1["n_docs"] == a2["n_docs"]
+
+
 def test_manifest_lineage_and_metrics(pages_dir, tmp_path):
     out = str(tmp_path / "out")
     paths = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir))
