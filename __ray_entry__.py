@@ -88,6 +88,30 @@ def oracle_sql() -> dict[str, str]:
             "(" + polyhash.sql_fingerprint("doc_id::VARCHAR") + ") % 100 < "
             "((CAST(substring(source, 4) AS BIGINT) % 4) + 1) * 25"
         ),
+        "docs_temperature_mix": (
+            "WITH tok AS (SELECT doc_id, source, "
+            "len(str_split(text, ' '))::BIGINT AS n_tokens FROM documents), "
+            "tot AS (SELECT source, sum(n_tokens)::BIGINT AS total "
+            "FROM tok GROUP BY source), "
+            # integer sqrt: correctly-rounded double sqrt is within one
+            # of isqrt for totals < 2^52; two correction steps pin it
+            "w0 AS (SELECT source, total, "
+            "CAST(floor(sqrt(total::DOUBLE)) AS BIGINT) AS s0 FROM tot), "
+            "w1 AS (SELECT source, total, "
+            "s0 - (CASE WHEN s0 * s0 > total THEN 1 ELSE 0 END) AS s1 FROM w0), "
+            "w2 AS (SELECT source, total, "
+            "s1 + (CASE WHEN (s1 + 1) * (s1 + 1) <= total THEN 1 ELSE 0 END) "
+            "AS w FROM w1), "
+            "c AS (SELECT min((total::HUGEINT * 1000000) // w::HUGEINT) AS cc "
+            "FROM w2 WHERE w > 0), "
+            "r AS (SELECT source, CASE WHEN total = 0 THEN 0 ELSE "
+            "((w::HUGEINT * (SELECT cc FROM c)) // total::HUGEINT) END::BIGINT "
+            "AS rate_ppm FROM w2) "
+            "SELECT t.doc_id, t.source, t.n_tokens, r.rate_ppm, "
+            "((" + polyhash.sql_gate_ppm("t.doc_id::VARCHAR") + ") "
+            "< r.rate_ppm) AS keep "
+            "FROM tok t JOIN r USING (source)"
+        ),
         "docs_token_budget_mix": (
             "WITH qf AS (" + _heur.sql_quality_filter("documents") + "), "
             "t AS (SELECT d.doc_id, d.source, q.keep, q.n_words "

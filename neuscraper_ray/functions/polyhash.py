@@ -340,6 +340,35 @@ def band_hashes(sigs: np.ndarray, n_bands: int = N_BANDS) -> np.ndarray:
 SQL_WS_PATTERN = r"[ \t\n\v\f\r]+"  # backslashes reach RE2 uninterpreted
 
 
+GATE_MIX = 1181783497276652981  # odd, < MOD
+"""Mixer for ppm-resolution sampling gates: the polynomial fingerprint
+of a SHORT string (decimal doc ids) stays far below MOD, so taking a
+large modulus like 1e6 directly is badly skewed (measured: max 449k of
+1e6 over 500 ids). One exact mod-M multiply by this constant wraps the
+field ~5e17 times first, making ``% 1e6`` uniform. Must match
+:func:`sql_gate_ppm` bit-for-bit."""
+
+
+def gate_ppm(h: np.ndarray) -> np.ndarray:
+    """Fingerprints (mod-M values) -> uniform int64 gate values in
+    [0, 1e6). Use for any ``keep iff gate < rate_ppm`` sampling rule;
+    NEVER gate a fine-grained rate on a raw fingerprint modulus (see
+    GATE_MIX). Small moduli (<= ~100) on raw fingerprints stay fine —
+    they wrap even short-string hashes many times."""
+    return (
+        mulmod(np.asarray(h, dtype=np.uint64), _U(GATE_MIX)) % _U(1_000_000)
+    ).astype(np.int64)
+
+
+def sql_gate_ppm(text_expr: str) -> str:
+    """DuckDB twin of ``gate_ppm(fingerprints(text_expr))`` — HUGEINT
+    keeps the 122-bit product exact before the mod-M reduction."""
+    return (
+        f"((({sql_fingerprint(text_expr)})::HUGEINT * {GATE_MIX}) "
+        f"% {MOD}) % 1000000"
+    )
+
+
 def sql_word_list(text_expr: str) -> str:
     return (
         f"list_filter(string_split_regex({text_expr}, '{SQL_WS_PATTERN}'), "

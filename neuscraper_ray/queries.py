@@ -573,6 +573,72 @@ def docs_stratified_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def docs_temperature_mix(sf_dir: str):
+    """Temperature-based source mixing (the mT5/UniMax recipe at
+    alpha = 0.5): a source's sampling weight is total_tokens^alpha, so
+    small sources are upweighted relative to proportional sampling
+    without exploding them. Emits per doc (doc_id, source, n_tokens,
+    rate_ppm, keep) where rate_ppm is the source's keep probability in
+    ppm (the largest feasible scaling with every rate <= 1, i.e. no
+    upsampling) and keep is the deterministic polyhash gate — a pure
+    function of the row, reproducible on any partitioning.
+
+    Exactness: alpha = 0.5 is an INTEGER sqrt on both engines — Python
+    ``math.isqrt`` driver-side, and in SQL ``floor(sqrt(x::DOUBLE))``
+    corrected by one down/up step (exact while totals < 2^52; a 100-TB
+    corpus is ~2.5e13 tokens/source). Rates use HUGEINT in SQL and
+    Python ints driver-side, so no overflow either side.
+
+    Scale shape: pass 1 is per-source combiner partials -> a tiny
+    groupby (O(sources x batches) rows); the weight/rate table is
+    computed on the driver frame (|sources| rows) and broadcast via
+    ``ray.put``; pass 2 is a zero-shuffle vectorized gate."""
+    import math
+
+    from neuscraper_ray.functions.polyhash import gate_ppm, int_fingerprints
+    from neuscraper_ray.functions.textstats import token_count_batch
+
+    def tok_fn(t: pa.Table) -> pa.Table:
+        return token_count_batch(t).select(["doc_id", "source", "n_tokens"])
+
+    tok = _read(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        tok_fn, batch_format="pyarrow"
+    )
+
+    totals = _preagg_sum(
+        tok.select_columns(["source", "n_tokens"]), ["source"], ["n_tokens"]
+    ).to_pandas()
+
+    # driver-side on the |sources|-row frame, in Python ints (exact)
+    rate_by_source: dict[str, int] = {}
+    weights = {
+        str(s): (int(t), math.isqrt(int(t)))
+        for s, t in zip(totals["source"], totals["n_tokens"])
+    }
+    c = min(
+        (t * 1_000_000) // w for t, w in weights.values() if w > 0
+    )
+    for s, (t, w) in weights.items():
+        rate_by_source[s] = 0 if t == 0 else (w * c) // t
+    rates_ref = ray.put(rate_by_source)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        rates = ray.get(rates_ref)
+        r = df["source"].map(rates).to_numpy().astype(np.int64)
+        h = gate_ppm(int_fingerprints(df["doc_id"].to_numpy()))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "source": df["source"].to_numpy(),
+                "n_tokens": df["n_tokens"].to_numpy(),
+                "rate_ppm": r,
+                "keep": h < r,
+            }
+        )
+
+    return tok.map_batches(gate, batch_format="pandas")
+
+
 def docs_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3/Gopher recipe): count each
     non-benchmark doc's word-3-gram shingles that also occur in the
@@ -4703,6 +4769,7 @@ ALL_QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "docs_contamination_frac": docs_contamination_frac,
     "docs_mix_sources": docs_mix_sources,
+    "docs_temperature_mix": docs_temperature_mix,
     "docs_token_budget_mix": docs_token_budget_mix,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_quality_percentile": docs_quality_percentile,

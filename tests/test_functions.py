@@ -1312,6 +1312,71 @@ def test_url_normalize_rules():
     assert got == list(cases.values())
 
 
+def test_gate_ppm_uniform_and_sql_equal():
+    """gate_ppm spreads short-id fingerprints uniformly over [0, 1e6)
+    (a raw % 1e6 on those fingerprints maxes out ~449k) and matches the
+    SQL twin bit-for-bit."""
+    import duckdb
+    import numpy as np
+
+    from neuscraper_ray.functions import polyhash as ph
+
+    ids = np.arange(2000, dtype=np.int64)
+    g = ph.gate_ppm(ph.int_fingerprints(ids))
+    assert g.min() >= 0 and g.max() < 1_000_000
+    # uniformity: each decile gets 10% +- 4 percentage points
+    hist = np.histogram(g, bins=10, range=(0, 1_000_000))[0]
+    assert (np.abs(hist - 200) <= 80).all(), hist
+    sql = duckdb.sql(
+        "SELECT " + ph.sql_gate_ppm("x::VARCHAR") + " AS g "
+        "FROM (SELECT unnest(range(2000)) AS x)"
+    ).df()["g"].to_numpy().astype(np.int64)
+    assert (g == sql).all()
+
+
+def test_temperature_mix_planted(tmp_path):
+    """alpha=0.5 temperature mixing on a skewed planted corpus: the
+    small source gets rate 1e6 (never downsampled further), the large
+    source's rate matches isqrt arithmetic exactly, and keep is the
+    deterministic gate."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neuscraper_ray.functions import polyhash as ph
+    from neuscraper_ray.queries import docs_temperature_mix
+
+    # big: 90 docs x 10 tokens; small: 10 docs x 10 tokens
+    rows = [(i, "big", "w " * 9 + "w") for i in range(90)] + [
+        (i, "small", "w " * 9 + "w") for i in range(90, 100)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    out = docs_temperature_mix(d).to_pandas().set_index("doc_id")
+
+    t_big, t_small = 900, 100
+    w_big, w_small = math.isqrt(t_big), math.isqrt(t_small)
+    c = min((t_big * 10**6) // w_big, (t_small * 10**6) // w_small)
+    r_big, r_small = (w_big * c) // t_big, (w_small * c) // t_small
+    assert r_small == 1_000_000  # the min source saturates
+    assert r_big < r_small  # alpha=0.5 upweights the small source
+    assert set(out.loc[out["source"] == "big", "rate_ppm"]) == {r_big}
+    assert set(out.loc[out["source"] == "small", "rate_ppm"]) == {r_small}
+    g = ph.gate_ppm(ph.int_fingerprints(out.index.to_numpy()))
+    assert (out["keep"].to_numpy() == (g < out["rate_ppm"].to_numpy())).all()
+    # every small-source doc survives (rate 1e6)
+    assert out.loc[out["source"] == "small", "keep"].all()
+
+
 def test_url_filter_planted():
     """url_filter semantics on planted sources: blocklisted domains are
     blocked regardless of score, fragment weights ADD (src1* host +
