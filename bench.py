@@ -122,6 +122,9 @@ def _run_bench() -> dict:
         "docs_line_dedup_apply",
         "docs_boilerplate_lines",
         "docs_incremental_dedup",
+        "docs_ngram_coverage",
+        "docs_url_filter",
+        "docs_temperature_mix",
         "docs_quality_filter",
         "docs_quality_model",
         "docs_bpe_merges",
@@ -137,6 +140,8 @@ def _run_bench() -> dict:
         "q18_large_orders",
         "q19_disjunctive_revenue",
         "q21_sole_failing_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
         "events_funnel",
         "docs_contamination_frac",
         "docs_dsir_weights",
