@@ -368,6 +368,38 @@ def oracle_sql() -> dict[str, str]:
               coalesce(a.text_dedup, '') AS text_dedup
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        "docs_paragraph_dedup": """
+            WITH ps AS (
+              SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+              FROM documents
+            ),
+            p0 AS (
+              SELECT doc_id, unnest(list_transform(range(len(ps)),
+                k -> struct_pack(pi := k, raw := ps[(k+1)::BIGINT]))) AS s
+              FROM ps
+            ),
+            fl AS (
+              SELECT doc_id, s.pi AS para_idx,
+                trim(s.raw, ' ' || chr(9) || chr(13) || chr(10)) AS para
+              FROM p0
+            ),
+            nz AS (SELECT * FROM fl WHERE para <> ''),
+            rn AS (
+              SELECT *, row_number() OVER (PARTITION BY para
+                ORDER BY doc_id, para_idx) AS rn FROM nz
+            ),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_paras,
+                sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                  chr(10) || chr(10) ORDER BY para_idx), '') AS text_dedup
+              FROM rn GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.n_paras, 0)::BIGINT AS n_paras,
+              coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+              coalesce(a.text_dedup, '') AS text_dedup
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "docs_bigram_lm_score": (
             "WITH d AS (SELECT doc_id, list_transform("
             "list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\x0c\\r]+'), "

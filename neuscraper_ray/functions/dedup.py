@@ -238,17 +238,21 @@ def line_dedup_apply(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = NUM_BUCKETS,
+    sep: str = "\n",
+    strip: str = LINE_STRIP,
 ) -> ray.data.Dataset:
     """CCNet-style line-level deduplication APPLIED (Wenzek et al.
     2020 §3.1 drop every repeated occurrence of a line): split each
-    document on ``\\n``, trim lines of ``LINE_STRIP``, drop empties,
+    document on ``sep``, trim units of ``strip``, drop empties,
     keep only the FIRST corpus-wide occurrence of each distinct
-    trimmed line (first = lexicographic min ``(doc_id, line_idx)`` —
+    trimmed unit (first = lexicographic min ``(doc_id, line_idx)`` —
     deterministic under any partitioning and task order), and
-    reassemble the surviving lines per document in original order.
+    reassemble the surviving units (``sep``-joined) per document in
+    original order.
     -> ``(doc_id, n_lines, n_kept, text_dedup)`` for EVERY input doc
-    (0/0/'' for docs with no non-empty lines). The companion
-    statistics view is :func:`line_dedup_stats`.
+    (0/0/'' for docs with no non-empty units). The companion
+    statistics view is :func:`line_dedup_stats`; the paragraph
+    granularity (MassiveText) is :func:`paragraph_dedup_apply`.
 
     Scale shape (the ``docs_chunk_dedup`` topology at line
     granularity): lines extracted with pyarrow kernels plus an
@@ -266,14 +270,14 @@ def line_dedup_apply(
     from neuscraper_ray.functions.joins import _bucket_i64, str_buckets
 
     def linify(batch: pa.Table) -> pa.Table:
-        lines = pc.split_pattern(batch.column(text_col), "\n").combine_chunks()
+        lines = pc.split_pattern(batch.column(text_col), sep).combine_chunks()
         offs = lines.offsets.to_numpy()
         flat = lines.values
         parents = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
         line_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
             offs[:-1].astype(np.int64), np.diff(offs)
         )
-        trimmed = pc.utf8_trim(flat, LINE_STRIP)
+        trimmed = pc.utf8_trim(flat, strip)
         keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
         ids = batch.column(id_col).to_numpy()
         out = pa.table(
@@ -318,7 +322,7 @@ def line_dedup_apply(
             real.filter(pl.col("keep"))
             .sort([id_col, "line_idx"])
             .group_by(id_col, maintain_order=True)
-            .agg(pl.col("line").str.join("\n").alias("text_dedup"))
+            .agg(pl.col("line").str.join(sep).alias("text_dedup"))
         )
         out = (
             pf.filter(pl.col("line_idx") < 0)
@@ -340,6 +344,36 @@ def line_dedup_apply(
         .map_groups(mark, batch_format="pandas")
         .groupby("db")
         .map_groups(assemble, batch_format="pandas")
+    )
+
+
+PARA_STRIP = LINE_STRIP + "\n"
+"""Paragraph trim set (SQL twin: trim(x, ' '||chr(9)||chr(13)||chr(10)))
+— a paragraph may carry interior newlines but sheds surrounding ones."""
+
+
+def paragraph_dedup_apply(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """MassiveText/Gopher-style exact PARAGRAPH deduplication (Rae et
+    al. 2021 §A.1.2 "we remove exact duplicate paragraphs"): the
+    :func:`line_dedup_apply` machinery at ``\\n\\n`` granularity —
+    first corpus-wide occurrence of each distinct trimmed paragraph
+    wins, survivors reassembled per doc joined by ``\\n\\n``.
+    Completes the dedup granularity ladder: whole-doc md5 -> paragraph
+    -> line -> 10-word chunk -> 3-gram shingle. Output columns are the
+    shared (doc_id, n_lines, n_kept, text_dedup) contract with "lines"
+    meaning paragraphs; the query layer renames to n_paras."""
+    return line_dedup_apply(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        num_buckets=num_buckets,
+        sep="\n\n",
+        strip=PARA_STRIP,
     )
 
 

@@ -129,6 +129,35 @@ def docs_line_dedup_apply(sf_dir: str):
     return line_dedup_apply(ds, id_col="doc_id", text_col="text")
 
 
+def docs_paragraph_dedup(sf_dir: str):
+    """MassiveText/Gopher exact paragraph dedup APPLIED (split on
+    blank line, first corpus-wide occurrence of each distinct trimmed
+    paragraph wins, survivors rejoined with \\n\\n per doc). The
+    paragraph rung of the dedup granularity ladder; SQL-verified via
+    the string_split(chr(10)||chr(10)) twin. Same two-exchange
+    topology as docs_line_dedup_apply (see
+    functions/dedup.py:paragraph_dedup_apply). The synthetic corpus is
+    single-paragraph, so here this degenerates to whole-text dedup;
+    multi-paragraph semantics are pinned on planted docs in
+    tests/test_functions.py."""
+    from neuscraper_ray.functions.dedup import paragraph_dedup_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = paragraph_dedup_apply(ds, id_col="doc_id", text_col="text")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_paras": t.column("n_lines"),
+                "n_kept": t.column("n_kept"),
+                "text_dedup": t.column("text_dedup"),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 def docs_ngram_coverage(sf_dir: str):
     """N-gram coverage per document (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): the fraction of each
@@ -4740,6 +4769,7 @@ ALL_QUERIES = {
     "docs_line_dedup_apply": docs_line_dedup_apply,
     "docs_boilerplate_lines": docs_boilerplate_lines,
     "docs_ngram_coverage": docs_ngram_coverage,
+    "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_url_filter": docs_url_filter,
     "docs_quality_model": docs_quality_model,
     "docs_bpe_merges": docs_bpe_merges,

@@ -833,6 +833,64 @@ def test_ngram_coverage_planted():
     assert out2.equals(out)
 
 
+def test_paragraph_dedup_planted():
+    """Paragraph dedup on planted multi-paragraph docs: paragraphs keep
+    interior newlines, shed surrounding whitespace/newlines, first
+    corpus-wide occurrence wins, and reassembly joins with \\n\\n.
+    Verified against a brute-force mirror; bucket-count invariant."""
+    import pyarrow as pa
+
+    from neuscraper_ray.functions.dedup import PARA_STRIP, paragraph_dedup_apply
+
+    docs = {
+        1: "intro one\nstill intro\n\nshared footer para\n\nunique tail",
+        2: "other start\n\nshared footer para\n\nother end",
+        3: "shared footer para",  # the para alone: already taken by doc 1
+        4: "",  # no paragraphs
+        5: "\n\n \n\n",  # whitespace-only paragraphs
+        6: "intro one\nstill intro",  # == doc 1's FIRST para (multi-line!)
+    }
+    tbl = pa.table({"doc_id": list(docs), "text": [docs[k] for k in docs]})
+    out = (
+        paragraph_dedup_apply(ray.data.from_arrow(tbl), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    # brute-force first-wins mirror
+    seen: set[str] = set()
+    want: dict[int, tuple[int, int, str]] = {}
+    for k in sorted(docs):
+        paras = [
+            p.strip(PARA_STRIP)
+            for p in docs[k].split("\n\n")
+        ]
+        paras = [p for p in paras if p]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want[k] = (len(paras), len(kept), "\n\n".join(kept))
+    # the function keeps the shared (n_lines, n_kept, text_dedup)
+    # contract; the query layer renames n_lines -> n_paras
+    for k, (np_, nk, txt) in want.items():
+        assert out.loc[k, "n_lines"] == np_
+        assert out.loc[k, "n_kept"] == nk
+        assert out.loc[k, "text_dedup"] == txt
+    # the multi-line paragraph deduped across docs 1 and 6
+    assert out.loc[6, "n_kept"] == 0 and out.loc[6, "text_dedup"] == ""
+    assert out.loc[4, "n_lines"] == 0 and out.loc[5, "n_lines"] == 0
+
+    out2 = (
+        paragraph_dedup_apply(ray.data.from_arrow(tbl), num_buckets=11)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out2.equals(out)
+
+
 def test_line_dedup_apply_planted_multiline():
     """APPLIED line dedup on planted multi-line docs: occurrence-level
     first-wins by (doc_id, line_idx) — including a doc's own repeats —
