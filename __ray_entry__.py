@@ -253,6 +253,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies "
             "FROM documents GROUP BY " + polyhash.sql_fingerprint("text")
         ),
+        "docs_soft_dedup": (
+            "SELECT doc_id, "
+            "count(*) OVER (PARTITION BY md5(text))::BIGINT AS n_copies, "
+            "(1000000 // count(*) OVER (PARTITION BY md5(text)))::BIGINT "
+            "AS weight_ppm FROM documents"
+        ),
         "docs_line_dedup": """
             WITH l0 AS (
               SELECT doc_id, unnest(string_split(text, chr(10))) AS raw

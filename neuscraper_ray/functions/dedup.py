@@ -91,6 +91,50 @@ def exact_dedup(
     )
 
 
+def soft_dedup_weights(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Soft deduplication (the SoftDeDup idea: DOWNWEIGHT duplicated
+    content instead of dropping it — each of a text's n copies trains
+    with weight 1/n, so the group contributes one document's worth of
+    gradient). -> ``(doc_id, n_copies, weight_ppm)`` for EVERY doc,
+    weight_ppm = 1e6 // n_copies.
+
+    Same single (id, md5) exchange as :func:`exact_dedup` — the only
+    difference is the in-bucket merge emits every row with its group's
+    size (transform, not agg) instead of one representative."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        t = batch.select([id_col]).append_column("h", pa.array(hs, pa.string()))
+        hb = np.fromiter(
+            (int(s[:4], 16) % NUM_BUCKETS for s in hs),
+            dtype=np.int32,
+            count=len(hs),
+        )
+        return t.append_column("hb", pa.array(hb))
+
+    def weigh_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby("h", sort=False)[id_col].transform("size").to_numpy()
+        n = n.astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_copies": n,
+                "weight_ppm": 1_000_000 // n,
+            }
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(weigh_bucket, batch_format="pandas")
+    )
+
+
 def exact_dedup_fp(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:

@@ -102,6 +102,19 @@ def docs_exact_dedup_fp(sf_dir: str):
     return exact_dedup_fp(ds, id_col="doc_id", text_col="text")
 
 
+def docs_soft_dedup(sf_dir: str):
+    """Soft dedup (downweight, don't drop): every doc gets
+    weight_ppm = 1e6 // n_copies of its exact-text duplicate group, so
+    a group contributes one doc's worth of training signal. Rides the
+    exact-dedup (id, md5) exchange with a transform-size in-bucket
+    merge (see functions/dedup.py:soft_dedup_weights). SQL-verified
+    (count(*) OVER (PARTITION BY md5(text)))."""
+    from neuscraper_ray.functions.dedup import soft_dedup_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return soft_dedup_weights(ds, id_col="doc_id", text_col="text")
+
+
 def docs_line_dedup(sf_dir: str):
     """CCNet/RefinedWeb-style duplicated-line fraction per document
     (distinct trimmed non-empty lines shared with >=1 other doc).
@@ -4770,6 +4783,7 @@ ALL_QUERIES = {
     "docs_boilerplate_lines": docs_boilerplate_lines,
     "docs_ngram_coverage": docs_ngram_coverage,
     "docs_paragraph_dedup": docs_paragraph_dedup,
+    "docs_soft_dedup": docs_soft_dedup,
     "docs_url_filter": docs_url_filter,
     "docs_quality_model": docs_quality_model,
     "docs_bpe_merges": docs_bpe_merges,
