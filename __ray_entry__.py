@@ -530,6 +530,22 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)::BIGINT AS pii_count "
             "FROM aug"
         ),
+        "docs_c4_clean": _heur.sql_c4_clean(
+            "documents",
+            text_expr=(
+                "text || CASE doc_id % 4 "
+                "WHEN 0 THEN chr(10) || 'One good sentence right here "
+                "today. Another good sentence follows it closely. A third "
+                "sentence ends this paragraph.' "
+                "WHEN 1 THEN chr(10) || 'Too short line.' "
+                "WHEN 2 THEN chr(10) || 'Please enable javascript to view "
+                "the full content here.' ELSE '' END "
+                "|| CASE WHEN doc_id % 11 = 0 THEN chr(10) || "
+                "'curly brace line {' ELSE '' END "
+                "|| CASE WHEN doc_id % 13 = 0 THEN chr(10) || "
+                "'some lorem ipsum filler text' ELSE '' END"
+            ),
+        ),
         "docs_normalize_text": (
             "SELECT doc_id, "
             "trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\x0c\\r]+', ' ', 'g')) "

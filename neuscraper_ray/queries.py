@@ -102,6 +102,50 @@ def docs_exact_dedup_fp(sf_dir: str):
     return exact_dedup_fp(ds, id_col="doc_id", text_col="text")
 
 
+C4_AUG_GOOD = (
+    "One good sentence right here today. Another good sentence follows"
+    " it closely. A third sentence ends this paragraph."
+)
+C4_AUG_SHORT = "Too short line."
+C4_AUG_JS = "Please enable javascript to view the full content here."
+C4_AUG_BRACE = "curly brace line {"
+C4_AUG_LOREM = "some lorem ipsum filler text"
+
+
+def docs_c4_clean(sf_dir: str):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2: keep lines
+    ending in terminal punctuation with >= 5 words and no
+    'javascript'; drop pages with < 3 sentences, 'lorem ipsum' or
+    '{'). Zero-shuffle vectorized pass; SQL-verified with shared
+    constants (stages/heuristics.py:c4_clean_batch / sql_c4_clean).
+    The raw synthetic corpus triggers NO rule (no terminal
+    punctuation anywhere), so — like docs_scrub — deterministic
+    rule-exercising lines are planted identically in both engines
+    (doc_id % 4 picks kept/short/javascript lines; % 11 plants the
+    brace page rule; % 13 plants lorem ipsum)."""
+    from neuscraper_ray.stages.heuristics import c4_clean_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug_and_clean(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        m4 = ids % 4
+        add = np.where(
+            m4 == 0,
+            "\n" + C4_AUG_GOOD,
+            np.where(m4 == 1, "\n" + C4_AUG_SHORT, np.where(m4 == 2, "\n" + C4_AUG_JS, "")),
+        )
+        add11 = np.where(ids % 11 == 0, "\n" + C4_AUG_BRACE, "")
+        add13 = np.where(ids % 13 == 0, "\n" + C4_AUG_LOREM, "")
+        aug = t.column("text").to_numpy(zero_copy_only=False) + add + add11 + add13
+        t2 = pa.table(
+            {"doc_id": pa.array(ids), "text": pa.array(aug, pa.string())}
+        )
+        return c4_clean_batch(t2)
+
+    return ds.map_batches(aug_and_clean, batch_format="pyarrow")
+
+
 def docs_soft_dedup(sf_dir: str):
     """Soft dedup (downweight, don't drop): every doc gets
     weight_ppm = 1e6 // n_copies of its exact-text duplicate group, so
@@ -4784,6 +4828,7 @@ ALL_QUERIES = {
     "docs_ngram_coverage": docs_ngram_coverage,
     "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_soft_dedup": docs_soft_dedup,
+    "docs_c4_clean": docs_c4_clean,
     "docs_url_filter": docs_url_filter,
     "docs_quality_model": docs_quality_model,
     "docs_bpe_merges": docs_bpe_merges,

@@ -393,3 +393,159 @@ FROM (
   FROM c
 )
 """
+
+
+# ------------------------------------------------- C4 line-level cleaning
+
+C4_TERMINALS = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_BAD_LINE_WORD = "javascript"
+C4_BAD_PAGE_PHRASE = "lorem ipsum"
+
+
+def c4_clean_batch(
+    batch, id_col: str = "doc_id", text_col: str = "text"
+):
+    """C4's line-level cleaning (Raffel et al. 2020 §2.2), one
+    vectorized zero-shuffle pass per batch:
+
+    line rules — keep a trimmed non-empty line iff it ends in terminal
+    punctuation (``. ! ? "``), has >= 5 whitespace words, and does not
+    contain 'javascript' (case-insensitive);
+    page rules — keep the page iff the CLEANED text has >= 3 sentences
+    (count of ``.!?`` characters) and the ORIGINAL text contains
+    neither 'lorem ipsum' (case-insensitive) nor '{'.
+
+    -> (doc_id, n_lines, n_kept_lines, n_sentences, text_clean, keep)
+    for every input row. SQL twin :func:`sql_c4_clean` (shared
+    constants). The three-sentence-span dedup from the same paper is
+    the separate ``docs_chunk_dedup`` family.
+    """
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.dedup import LINE_STRIP
+
+    text = batch.column(text_col)
+    n = len(batch)
+    lines = pc.split_pattern(text, "\n").combine_chunks()
+    offs = lines.offsets.to_numpy()
+    parents = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    trimmed = pc.utf8_trim(lines.values, LINE_STRIP)
+
+    lf = pl.DataFrame(
+        {"parent": parents, "line": pl.from_arrow(trimmed)}
+    ).filter(pl.col("line") != "")
+    ends = pl.any_horizontal(
+        *[pl.col("line").str.ends_with(t) for t in C4_TERMINALS]
+    )
+    words = (
+        pl.col("line")
+        .str.split(" ")
+        .list.eval(pl.element().filter(pl.element() != ""))
+        .list.len()
+    )
+    bad = (
+        pl.col("line")
+        .str.to_lowercase()
+        .str.contains(C4_BAD_LINE_WORD, literal=True)
+    )
+    lf = lf.with_columns(
+        (ends & (words >= C4_MIN_LINE_WORDS) & ~bad).alias("kept")
+    )
+    agg = lf.group_by("parent", maintain_order=False).agg(
+        pl.len().cast(pl.Int64).alias("n_lines"),
+        pl.col("kept").sum().cast(pl.Int64).alias("n_kept_lines"),
+        # row order inside a group is original line order (never sorted)
+        pl.col("line").filter(pl.col("kept")).str.join("\n").alias("tc"),
+    )
+
+    n_lines = np.zeros(n, dtype=np.int64)
+    n_kept = np.zeros(n, dtype=np.int64)
+    tc = np.full(n, "", dtype=object)
+    idx = agg["parent"].to_numpy()
+    n_lines[idx] = agg["n_lines"].to_numpy()
+    n_kept[idx] = agg["n_kept_lines"].to_numpy()
+    tc[idx] = agg["tc"].to_numpy()
+
+    tc_arr = pa.array(tc, pa.string())
+    n_sent = np.zeros(n, dtype=np.int64)
+    for ch in (".", "!", "?"):
+        n_sent += pc.count_substring(tc_arr, ch).to_numpy(zero_copy_only=False)
+    lower = pc.utf8_lower(text)
+    lorem = pc.match_substring(lower, C4_BAD_PAGE_PHRASE).to_numpy(
+        zero_copy_only=False
+    )
+    brace = pc.match_substring(text, "{").to_numpy(zero_copy_only=False)
+    keep = (n_sent >= C4_MIN_SENTENCES) & ~lorem & ~brace
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(n_lines),
+            "n_kept_lines": pa.array(n_kept),
+            "n_sentences": pa.array(n_sent),
+            "text_clean": tc_arr,
+            "keep": pa.array(keep),
+        }
+    )
+
+
+def sql_c4_clean(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`c4_clean_batch` over ``text_expr`` (which
+    lets the query layer plant deterministic rule hits the way
+    ``docs_scrub`` does). Shares every constant with the batch fn."""
+    term = " OR ".join(
+        "line LIKE '%' || " + f"chr(34)" if t == '"' else f"line LIKE '%{t}'"
+        for t in C4_TERMINALS
+    )
+    return f"""
+WITH src AS (SELECT doc_id, {text_expr} AS text FROM {table}),
+ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM src),
+l0 AS (
+  SELECT doc_id, unnest(list_transform(range(len(ls)),
+    k -> struct_pack(li := k, raw := ls[(k+1)::BIGINT]))) AS s
+  FROM ls
+),
+fl AS (
+  SELECT doc_id, s.li AS line_idx,
+    trim(s.raw, ' ' || chr(9) || chr(13)) AS line
+  FROM l0
+),
+nz AS (SELECT * FROM fl WHERE line <> ''),
+ck AS (
+  SELECT doc_id, line_idx, line,
+    (({term})
+     AND len(list_filter(string_split(line, ' '), w -> w <> ''))
+         >= {C4_MIN_LINE_WORDS}
+     AND NOT contains(lower(line), '{C4_BAD_LINE_WORD}')) AS kept
+  FROM nz
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines,
+    sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept_lines,
+    coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+      ORDER BY line_idx), '') AS text_clean
+  FROM ck GROUP BY doc_id
+),
+j AS (
+  SELECT s.doc_id, s.text,
+    coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+    coalesce(a.n_kept_lines, 0)::BIGINT AS n_kept_lines,
+    coalesce(a.text_clean, '') AS text_clean
+  FROM src s LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_lines, n_kept_lines,
+  (length(text_clean)
+   - length(replace(replace(replace(text_clean, '.', ''), '!', ''), '?', ''))
+  )::BIGINT AS n_sentences,
+  text_clean,
+  ((length(text_clean)
+    - length(replace(replace(replace(text_clean, '.', ''), '!', ''), '?', ''))
+   ) >= {C4_MIN_SENTENCES}
+   AND NOT contains(lower(text), '{C4_BAD_PAGE_PHRASE}')
+   AND NOT contains(text, '{{')) AS keep
+FROM j
+""".strip()

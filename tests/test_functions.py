@@ -833,6 +833,55 @@ def test_ngram_coverage_planted():
     assert out2.equals(out)
 
 
+def test_c4_clean_planted():
+    """Every C4 rule on handcrafted docs: terminal-punct line keep,
+    <5-word drop, javascript drop, quote-terminal keep, 3-sentence
+    page gate, lorem-ipsum and brace page drops, empty doc."""
+    import pyarrow as pa
+
+    from neuscraper_ray.stages.heuristics import c4_clean_batch
+
+    docs = {
+        1: (
+            "A first proper sentence sits here.\n"
+            "tiny line.\n"                       # < 5 words -> dropped
+            "Please enable javascript to continue reading now.\n"  # js
+            "Another good sentence follows here today!\n"
+            'He said the quote ends properly here."\n'
+            "no terminal punctuation on this line"
+        ),
+        2: "Only one good sentence lives here.",   # 1 sentence -> page drop
+        3: (
+            "A first proper sentence sits here.\n"
+            "Another good sentence follows here today!\n"
+            "A third proper sentence closes it out."
+        ),  # 3 sentences, clean -> keep
+        4: (
+            "A first proper sentence sits here. And two more follow it. "
+            "Then a third arrives soon."
+        ),  # ONE line, 3 sentences -> keep
+        5: "A first proper sentence sits here. More come after. Third one too. lorem IPSUM",
+        6: "A first { proper sentence sits here. Two here. Three here.",
+        7: "",
+    }
+    tbl = pa.table({"doc_id": list(docs), "text": [docs[k] for k in docs]})
+    out = c4_clean_batch(tbl).to_pandas().set_index("doc_id")
+
+    assert out.loc[1, "n_lines"] == 6 and out.loc[1, "n_kept_lines"] == 3
+    assert out.loc[1, "text_clean"] == (
+        "A first proper sentence sits here.\n"
+        "Another good sentence follows here today!\n"
+        'He said the quote ends properly here."'
+    )
+    assert out.loc[1, "n_sentences"] == 3 and bool(out.loc[1, "keep"])
+    assert out.loc[2, "n_kept_lines"] == 1 and not out.loc[2, "keep"]
+    assert bool(out.loc[3, "keep"])
+    assert out.loc[4, "n_sentences"] == 3 and bool(out.loc[4, "keep"])
+    assert not out.loc[5, "keep"]  # lorem ipsum (case-insensitive)
+    assert not out.loc[6, "keep"]  # brace page rule
+    assert out.loc[7, "n_lines"] == 0 and not out.loc[7, "keep"]
+
+
 def test_paragraph_dedup_planted():
     """Paragraph dedup on planted multi-paragraph docs: paragraphs keep
     interior newlines, shed surrounding whitespace/newlines, first
