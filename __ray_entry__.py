@@ -55,7 +55,52 @@ def oracle_sql() -> dict[str, str]:
     from neuscraper_ray.functions import urls as _urls
     from neuscraper_ray.stages import heuristics as _heur
 
+    def _temp_rate_ctes(tok: str) -> str:
+        """The alpha=0.5 temperature-rate CTE chain (integer-corrected
+        sqrt, exact below 2^52) over a (source, n_tokens) relation —
+        shared by docs_temperature_mix and docs_curation_funnel."""
+        return (
+            f"tot AS (SELECT source, sum(n_tokens)::BIGINT AS total "
+            f"FROM {tok} GROUP BY source), "
+            "w0 AS (SELECT source, total, "
+            "CAST(floor(sqrt(total::DOUBLE)) AS BIGINT) AS s0 FROM tot), "
+            "w1 AS (SELECT source, total, "
+            "s0 - (CASE WHEN s0 * s0 > total THEN 1 ELSE 0 END) AS s1 FROM w0), "
+            "w2 AS (SELECT source, total, "
+            "s1 + (CASE WHEN (s1 + 1) * (s1 + 1) <= total THEN 1 ELSE 0 END) "
+            "AS w FROM w1), "
+            "c AS (SELECT min((total::HUGEINT * 1000000) // w::HUGEINT) AS cc "
+            "FROM w2 WHERE w > 0), "
+            "r AS (SELECT source, CASE WHEN total = 0 THEN 0 ELSE "
+            "((w::HUGEINT * (SELECT cc FROM c)) // total::HUGEINT) END::BIGINT "
+            "AS rate_ppm FROM w2)"
+        )
+
     return {
+        "docs_curation_funnel": (
+            "WITH uf AS (SELECT doc_id FROM ("
+            + _urls.sql_url_filter("documents")
+            + ") WHERE keep), "
+            "qf AS (" + _heur.sql_quality_filter("documents") + "), "
+            "s2 AS (SELECT d.doc_id, d.source, d.text FROM documents d "
+            "JOIN uf USING (doc_id) "
+            "JOIN qf ON qf.doc_id = d.doc_id AND qf.keep = 1), "
+            "s3 AS (SELECT doc_id, source, text FROM ("
+            "SELECT s2.*, row_number() OVER (PARTITION BY md5(text) "
+            "ORDER BY doc_id) AS rn FROM s2) WHERE rn = 1), "
+            "tok AS (SELECT doc_id, source, "
+            "len(str_split(text, ' '))::BIGINT AS n_tokens FROM s3), "
+            + _temp_rate_ctes("tok")
+            + ", s4 AS (SELECT t.doc_id FROM tok t JOIN r USING (source) "
+            "WHERE (" + polyhash.sql_gate_ppm("t.doc_id::VARCHAR") + ") "
+            "< r.rate_ppm) "
+            "SELECT 'input' AS stage, "
+            "(SELECT count(*) FROM documents)::BIGINT AS n_docs "
+            "UNION ALL SELECT 'url_filter', (SELECT count(*) FROM uf) "
+            "UNION ALL SELECT 'quality_filter', (SELECT count(*) FROM s2) "
+            "UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM s3) "
+            "UNION ALL SELECT 'temperature_mix', (SELECT count(*) FROM s4)"
+        ),
         "docs_fingerprint": (
             "SELECT doc_id, "
             + polyhash.sql_fingerprint("text")
@@ -91,23 +136,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_temperature_mix": (
             "WITH tok AS (SELECT doc_id, source, "
             "len(str_split(text, ' '))::BIGINT AS n_tokens FROM documents), "
-            "tot AS (SELECT source, sum(n_tokens)::BIGINT AS total "
-            "FROM tok GROUP BY source), "
-            # integer sqrt: correctly-rounded double sqrt is within one
-            # of isqrt for totals < 2^52; two correction steps pin it
-            "w0 AS (SELECT source, total, "
-            "CAST(floor(sqrt(total::DOUBLE)) AS BIGINT) AS s0 FROM tot), "
-            "w1 AS (SELECT source, total, "
-            "s0 - (CASE WHEN s0 * s0 > total THEN 1 ELSE 0 END) AS s1 FROM w0), "
-            "w2 AS (SELECT source, total, "
-            "s1 + (CASE WHEN (s1 + 1) * (s1 + 1) <= total THEN 1 ELSE 0 END) "
-            "AS w FROM w1), "
-            "c AS (SELECT min((total::HUGEINT * 1000000) // w::HUGEINT) AS cc "
-            "FROM w2 WHERE w > 0), "
-            "r AS (SELECT source, CASE WHEN total = 0 THEN 0 ELSE "
-            "((w::HUGEINT * (SELECT cc FROM c)) // total::HUGEINT) END::BIGINT "
-            "AS rate_ppm FROM w2) "
-            "SELECT t.doc_id, t.source, t.n_tokens, r.rate_ppm, "
+            + _temp_rate_ctes("tok")
+            + " SELECT t.doc_id, t.source, t.n_tokens, r.rate_ppm, "
             "((" + polyhash.sql_gate_ppm("t.doc_id::VARCHAR") + ") "
             "< r.rate_ppm) AS keep "
             "FROM tok t JOIN r USING (source)"

@@ -180,6 +180,51 @@ score: strict fragments weigh 100, soft ones less; matches add up
 KEEP_BELOW_E2 = 100
 
 
+def url_filter_batch(t: pa.Table, block) -> pa.Table:
+    """Pure vectorized kernel under :func:`url_filter` (and the
+    curation-funnel composition): (doc_id, source) + a blocklist
+    collection -> (doc_id, url_norm, domain, blocked, score_e2, keep)."""
+    import polars as pl
+
+    pf = pl.from_arrow(t.select(["doc_id", "source"]))
+    pf = pf.with_columns(derive_url_expr().alias("u"))
+    pf = pf.select(
+        pl.col("doc_id"), normalize_url_expr(pl.col("u")).alias("url_norm")
+    )
+    pf = pf.with_columns(
+        pl.col("url_norm")
+        .str.extract(r"://([^/]*)", 1)
+        .fill_null("")
+        .alias("domain")
+    )
+    score = pl.lit(0, dtype=pl.Int64)
+    for frag, w in URL_FRAGMENTS:
+        score = score + pl.col("url_norm").str.contains(
+            frag, literal=True
+        ).cast(pl.Int64) * w
+    pf = pf.with_columns(
+        pl.col("domain").is_in(sorted(block)).alias("blocked"),
+        score.alias("score_e2"),
+    )
+    pf = pf.with_columns(
+        (~pl.col("blocked") & (pl.col("score_e2") < KEEP_BELOW_E2)).alias(
+            "keep"
+        )
+    )
+    return pf.to_arrow().cast(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("url_norm", pa.string()),
+                ("domain", pa.string()),
+                ("blocked", pa.bool_()),
+                ("score_e2", pa.int64()),
+                ("keep", pa.bool_()),
+            ]
+        )
+    )
+
+
 def url_filter(ds: ray.data.Dataset) -> ray.data.Dataset:
     """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1: curated
     domain blocklist + weighted word-fragment URL score) ->
@@ -191,49 +236,10 @@ def url_filter(ds: ray.data.Dataset) -> ray.data.Dataset:
     ``is_in`` inside the batch fn (the production list is millions of
     domains — per-batch reshipping would dominate). SQL twin
     :func:`sql_url_filter` is generated from the SAME constants."""
-    import polars as pl
-
     block_ref = ray.put(frozenset(BLOCK_DOMAINS))
 
     def fn(t: pa.Table) -> pa.Table:
-        block = ray.get(block_ref)
-        pf = pl.from_arrow(t.select(["doc_id", "source"]))
-        pf = pf.with_columns(derive_url_expr().alias("u"))
-        pf = pf.select(
-            pl.col("doc_id"), normalize_url_expr(pl.col("u")).alias("url_norm")
-        )
-        pf = pf.with_columns(
-            pl.col("url_norm")
-            .str.extract(r"://([^/]*)", 1)
-            .fill_null("")
-            .alias("domain")
-        )
-        score = pl.lit(0, dtype=pl.Int64)
-        for frag, w in URL_FRAGMENTS:
-            score = score + pl.col("url_norm").str.contains(
-                frag, literal=True
-            ).cast(pl.Int64) * w
-        pf = pf.with_columns(
-            pl.col("domain").is_in(sorted(block)).alias("blocked"),
-            score.alias("score_e2"),
-        )
-        pf = pf.with_columns(
-            (~pl.col("blocked") & (pl.col("score_e2") < KEEP_BELOW_E2)).alias(
-                "keep"
-            )
-        )
-        return pf.to_arrow().cast(
-            pa.schema(
-                [
-                    ("doc_id", pa.int64()),
-                    ("url_norm", pa.string()),
-                    ("domain", pa.string()),
-                    ("blocked", pa.bool_()),
-                    ("score_e2", pa.int64()),
-                    ("keep", pa.bool_()),
-                ]
-            )
-        )
+        return url_filter_batch(t, ray.get(block_ref))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

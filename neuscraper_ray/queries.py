@@ -659,6 +659,25 @@ def docs_stratified_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def _alpha_half_rates(totals: pd.DataFrame) -> dict[str, int]:
+    """(source, n_tokens) totals frame -> rate_ppm per source: the
+    alpha=0.5 temperature weights (isqrt of total tokens, exact Python
+    ints) scaled so the largest-rate source saturates at 1e6 ppm (no
+    upsampling). Shared by docs_temperature_mix and the curation
+    funnel; SQL twin is the corrected-sqrt CTE chain."""
+    import math
+
+    weights = {
+        str(s): (int(t), math.isqrt(int(t)))
+        for s, t in zip(totals["source"], totals["n_tokens"])
+    }
+    pos = [(t, w) for t, w in weights.values() if w > 0]
+    if not pos:
+        return {s: 0 for s in weights}
+    c = min((t * 1_000_000) // w for t, w in pos)
+    return {s: (0 if t == 0 else (w * c) // t) for s, (t, w) in weights.items()}
+
+
 def docs_temperature_mix(sf_dir: str):
     """Temperature-based source mixing (the mT5/UniMax recipe at
     alpha = 0.5): a source's sampling weight is total_tokens^alpha, so
@@ -679,8 +698,6 @@ def docs_temperature_mix(sf_dir: str):
     groupby (O(sources x batches) rows); the weight/rate table is
     computed on the driver frame (|sources| rows) and broadcast via
     ``ray.put``; pass 2 is a zero-shuffle vectorized gate."""
-    import math
-
     from neuscraper_ray.functions.polyhash import gate_ppm, int_fingerprints
     from neuscraper_ray.functions.textstats import token_count_batch
 
@@ -694,19 +711,7 @@ def docs_temperature_mix(sf_dir: str):
     totals = _preagg_sum(
         tok.select_columns(["source", "n_tokens"]), ["source"], ["n_tokens"]
     ).to_pandas()
-
-    # driver-side on the |sources|-row frame, in Python ints (exact)
-    rate_by_source: dict[str, int] = {}
-    weights = {
-        str(s): (int(t), math.isqrt(int(t)))
-        for s, t in zip(totals["source"], totals["n_tokens"])
-    }
-    c = min(
-        (t * 1_000_000) // w for t, w in weights.values() if w > 0
-    )
-    for s, (t, w) in weights.items():
-        rate_by_source[s] = 0 if t == 0 else (w * c) // t
-    rates_ref = ray.put(rate_by_source)
+    rates_ref = ray.put(_alpha_half_rates(totals))
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
         rates = ray.get(rates_ref)
@@ -723,6 +728,136 @@ def docs_temperature_mix(sf_dir: str):
         )
 
     return tok.map_batches(gate, batch_format="pandas")
+
+
+def docs_curation_funnel(sf_dir: str):
+    """The full LLM-data curation recipe composed END-TO-END from the
+    engine's own operators — URL filter (RefinedWeb) -> Gopher/C4
+    quality rules -> exact dedup (min doc_id per md5) -> temperature
+    source mixing (alpha=0.5) — emitting the per-stage attrition
+    funnel ``(stage, n_docs)``. Every stage has an SQL twin, so the
+    whole composition is SQL-verified: the oracle chains the same four
+    stage twins as CTEs.
+
+    Scale shape: pass A is a zero-shuffle gate pass collapsed to
+    per-batch count partials; pass B re-applies the gates, hashes only
+    the survivors, and runs ONE md5-bucket exchange for the dedup
+    stage; the dedup survivors (id/source/count columns only —
+    metadata-sized) are materialized once and reused for the tiny
+    per-source totals groupby, the broadcast-rate mix gate, and the
+    counts. Text never crosses an exchange."""
+    import hashlib
+
+    from neuscraper_ray.functions.joins import str_buckets
+    from neuscraper_ray.functions.polyhash import gate_ppm, int_fingerprints
+    from neuscraper_ray.functions.urls import BLOCK_DOMAINS, url_filter_batch
+    from neuscraper_ray.stages.heuristics import quality_filter_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    block_ref = ray.put(frozenset(BLOCK_DOMAINS))
+
+    def gate_flags(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        keep_u = (
+            url_filter_batch(t.select(["doc_id", "source"]), ray.get(block_ref))
+            .column("keep")
+            .to_numpy(zero_copy_only=False)
+        )
+        keep_q = (
+            quality_filter_batch(t, column="text")
+            .column("keep")
+            .to_numpy()
+            .astype(bool)
+        )
+        return keep_u, keep_q
+
+    # ---- pass A: per-batch count partials (zero shuffle)
+    def count_partial(t: pa.Table) -> pa.Table:
+        keep_u, keep_q = gate_flags(t)
+        return pa.table(
+            {
+                "n_input": pa.array([len(t)], pa.int64()),
+                "n_url": pa.array([int(keep_u.sum())], pa.int64()),
+                "n_urlq": pa.array([int((keep_u & keep_q).sum())], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+
+    # ---- pass B: survivors -> md5-bucket dedup exchange
+    def survivors(t: pa.Table) -> pa.Table:
+        keep_u, keep_q = gate_flags(t)
+        both = keep_u & keep_q
+        t2 = t.filter(pa.array(both))
+        import pyarrow.compute as pc
+
+        texts = t2.column("text").to_pylist()
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        n_tok = pc.add(pc.count_substring(t2.column("text"), " "), 1)
+        return pa.table(
+            {
+                "doc_id": t2.column("doc_id"),
+                "source": t2.column("source"),
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+                "h": pa.array(hs, pa.string()),
+                "hb": pa.array(str_buckets(hs, NUM_BUCKETS), pa.int32()),
+            }
+        )
+
+    def dedup_mark(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("h", sort=False)["doc_id"].transform("min")
+        out = df[df["doc_id"].to_numpy() == first.to_numpy()]
+        return out[["doc_id", "source", "n_tokens"]]
+
+    s3 = (
+        ds.map_batches(survivors, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(dedup_mark, batch_format="pandas")
+        .materialize()  # id/source/count columns only; reused 3x below
+    )
+    n_dedup = s3.count()
+
+    totals = _preagg_sum(
+        s3.select_columns(["source", "n_tokens"]), ["source"], ["n_tokens"]
+    ).to_pandas()
+    rates_ref = ray.put(_alpha_half_rates(totals))
+
+    def mix_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rates = ray.get(rates_ref)
+        r = df["source"].map(rates).to_numpy().astype(np.int64)
+        g = gate_ppm(int_fingerprints(df["doc_id"].to_numpy()))
+        return pd.DataFrame({"n_mix": [int((g < r).sum())]})
+
+    n_mix = int(
+        s3.map_batches(mix_partial, batch_format="pandas")
+        .to_pandas()["n_mix"]
+        .sum()
+    )
+
+    return pd.DataFrame(
+        {
+            "stage": [
+                "input",
+                "url_filter",
+                "quality_filter",
+                "exact_dedup",
+                "temperature_mix",
+            ],
+            "n_docs": np.array(
+                [
+                    int(counts["n_input"]),
+                    int(counts["n_url"]),
+                    int(counts["n_urlq"]),
+                    int(n_dedup),
+                    n_mix,
+                ],
+                dtype=np.int64,
+            ),
+        }
+    )
 
 
 def docs_decontaminate(sf_dir: str):
@@ -4859,6 +4994,7 @@ ALL_QUERIES = {
     "docs_contamination_frac": docs_contamination_frac,
     "docs_mix_sources": docs_mix_sources,
     "docs_temperature_mix": docs_temperature_mix,
+    "docs_curation_funnel": docs_curation_funnel,
     "docs_token_budget_mix": docs_token_budget_mix,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_quality_percentile": docs_quality_percentile,
