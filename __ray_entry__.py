@@ -694,6 +694,83 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY n_name"
         ),
+        "q2_min_cost_supplier": (
+            "WITH esupp AS (SELECT s_suppkey, s_name, "
+            "round(s_acctbal * 100)::BIGINT AS s_acctbal_e2, n_name "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), "
+            "fp AS (SELECT p_partkey, p_name FROM part "
+            "WHERE p_size = 15 AND p_name LIKE '%bolt'), "
+            "cost AS (SELECT l_partkey, l_suppkey, "
+            "min(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cost_e2 "
+            "FROM lineitem JOIN esupp ON l_suppkey = s_suppkey "
+            "JOIN fp ON l_partkey = p_partkey GROUP BY 1, 2) "
+            "SELECT s_acctbal_e2, s_name, n_name, "
+            "l_partkey::BIGINT AS p_partkey, p_name, cost_e2 "
+            "FROM cost JOIN esupp ON l_suppkey = s_suppkey "
+            "JOIN fp ON l_partkey = p_partkey "
+            "WHERE cost_e2 = (SELECT min(cost_e2) FROM cost c2 "
+            "WHERE c2.l_partkey = cost.l_partkey) "
+            "ORDER BY s_acctbal_e2 DESC, n_name ASC, s_name ASC, p_partkey ASC "
+            "LIMIT 100"
+        ),
+        "q9_product_type_profit": (
+            "WITH fp AS (SELECT p_partkey, "
+            "round(p_retailprice * 100)::BIGINT AS retail_e2 "
+            "FROM part WHERE p_name LIKE 'red %'), "
+            "l AS (SELECT l_orderkey, n_name AS nation, "
+            "(round(l_extendedprice * 100)::BIGINT "
+            "* (100 - round(l_discount * 100)::BIGINT) "
+            "- retail_e2 * 100 * l_quantity::BIGINT) AS amount_e4 "
+            "FROM lineitem JOIN fp ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey) "
+            "SELECT nation, year(o_orderdate)::BIGINT AS o_year, "
+            "sum(amount_e4)::BIGINT AS profit_e4 "
+            "FROM l JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC"
+        ),
+        "q11_important_parts": (
+            "WITH asupp AS (SELECT s_suppkey FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), "
+            "v AS (SELECT l_partkey, "
+            "sum(round(l_extendedprice * 100)::BIGINT "
+            "* (100 - round(l_discount * 100)::BIGINT))::BIGINT AS value_e4 "
+            "FROM lineitem JOIN asupp ON l_suppkey = s_suppkey GROUP BY 1) "
+            "SELECT l_partkey::BIGINT AS l_partkey, value_e4 FROM v "
+            "WHERE value_e4 * 1000 > (SELECT sum(value_e4) FROM v) "
+            "ORDER BY value_e4 DESC, l_partkey ASC"
+        ),
+        "q16_part_supplier_counts": (
+            "WITH fp AS (SELECT p_partkey, p_brand, p_type, p_size FROM part "
+            "WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY' "
+            "AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)), "
+            "pairs AS (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey "
+            "FROM lineitem JOIN fp ON l_partkey = p_partkey "
+            "WHERE l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) "
+            "SELECT p_brand, p_type, p_size::BIGINT AS p_size, "
+            "count(*)::BIGINT AS supplier_cnt FROM pairs GROUP BY 1, 2, 3 "
+            "ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC"
+        ),
+        "q20_heavy_shippers": (
+            "WITH fp AS (SELECT p_partkey FROM part "
+            "WHERE p_name LIKE 'small %'), "
+            "agg AS (SELECT l_suppkey, l_partkey, "
+            "sum(l_quantity::BIGINT)::BIGINT AS qty_all, "
+            "sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "THEN l_quantity::BIGINT ELSE 0 END)::BIGINT AS qty_yr "
+            "FROM lineitem JOIN fp ON l_partkey = p_partkey GROUP BY 1, 2), "
+            "ok AS (SELECT DISTINCT l_suppkey FROM agg "
+            "WHERE 2 * qty_yr > qty_all) "
+            "SELECT s_name, round(s_acctbal * 100)::BIGINT AS s_acctbal_e2 "
+            "FROM supplier JOIN ok ON s_suppkey = l_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'AMERICA' ORDER BY s_name ASC"
+        ),
         "q14_promo_revenue": (
             "WITH l AS (SELECT l_partkey, round(l_extendedprice * 100)::BIGINT * "
             "(100 - round(l_discount * 100)::BIGINT) AS rev FROM lineitem "

@@ -4952,6 +4952,470 @@ def q21_sole_failing_supplier(sf_dir: str):
     return out[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
 
 
+Q2_REGION = "EUROPE"
+Q2_SIZE = 15
+Q2_NAME_SUFFIX = "bolt"
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H-Q2-shape minimum-cost supplier (adapted: the synthetic
+    schema has no partsupp table, so supply cost is each supplier's
+    cheapest observed sale price — ``min(l_extendedprice)`` cents per
+    (part, supplier) — among one region's suppliers; ref shape:
+    correlated MIN subquery per part, top-100 by account balance).
+
+    Scale shape: both dimension slices broadcast once (region's
+    suppliers ~ |supplier|/5, filtered parts ~ |part|/250); lineitem is
+    column-pruned and collapsed per batch to (part, supp) min partials;
+    ONE keyed exchange on a partkey bucket co-locates every candidate
+    of a part, so the correlated min resolves vectorized in-bucket with
+    no second shuffle; only winner rows (output-sized) reach the
+    driver."""
+    nation = _read(sf_dir, "nation", None).to_pandas()
+    region = _read(sf_dir, "region", None).to_pandas()
+    supp = _read(sf_dir, "supplier", None).to_pandas()
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]).to_pandas()
+
+    rkey = int(region.loc[region["r_name"] == Q2_REGION, "r_regionkey"].iloc[0])
+    n2name = dict(
+        zip(nation["n_nationkey"].astype(int), nation["n_name"])
+    )
+    rnations = set(
+        nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    )
+    esupp = supp[supp["s_nationkey"].isin(rnations)]
+    sinfo = {
+        int(r.s_suppkey): (
+            r.s_name,
+            int(round(r.s_acctbal * 100)),
+            n2name[int(r.s_nationkey)],
+        )
+        for r in esupp.itertuples()
+    }
+    fpart = part[
+        (part["p_size"] == Q2_SIZE)
+        & part["p_name"].str.endswith(Q2_NAME_SUFFIX)
+    ]
+    pname = dict(zip(fpart["p_partkey"].astype(int), fpart["p_name"]))
+    dims_ref = ray.put((set(sinfo), set(pname)))
+
+    from neuscraper_ray.functions.joins import _bucket_i64
+
+    def cost_partial(df: pd.DataFrame) -> pd.DataFrame:
+        skeys, pkeys = ray.get(dims_ref)
+        keep = df["l_suppkey"].isin(skeys).to_numpy() & df["l_partkey"].isin(
+            pkeys
+        ).to_numpy()
+        df = df[keep]
+        out = pd.DataFrame(
+            {
+                "l_partkey": df["l_partkey"].to_numpy(),
+                "l_suppkey": df["l_suppkey"].to_numpy(),
+                "cost_e2": np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = out.groupby(["l_partkey", "l_suppkey"], sort=False, as_index=False)[
+            "cost_e2"
+        ].min()
+        g["pb"] = _bucket_i64(g["l_partkey"].to_numpy(), 16)
+        return g
+
+    def bucket_winners(df: pd.DataFrame) -> pd.DataFrame:
+        # every (part, supp) partial of a part is in this bucket: finish
+        # the pair min, then the per-part min, keep the ties — the
+        # correlated subquery, vectorized
+        g = df.groupby(["l_partkey", "l_suppkey"], sort=False, as_index=False)[
+            "cost_e2"
+        ].min()
+        pmin = g.groupby("l_partkey")["cost_e2"].transform("min")
+        return g[g["cost_e2"] == pmin]
+
+    cand = (
+        _read(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]
+        )
+        .map_batches(cost_partial, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(bucket_winners, batch_format="pandas")
+        .to_pandas()  # output-sized: winners only
+    )
+    info = cand["l_suppkey"].astype(int).map(sinfo)
+    cand["s_name"] = [t[0] for t in info]
+    cand["s_acctbal_e2"] = np.array([t[1] for t in info], dtype=np.int64)
+    cand["n_name"] = [t[2] for t in info]
+    cand["p_name"] = cand["l_partkey"].astype(int).map(pname)
+    cand = cand.rename(columns={"l_partkey": "p_partkey"})
+    cand = cand.sort_values(
+        ["s_acctbal_e2", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True],
+        kind="mergesort",
+    ).head(100)
+    cand["p_partkey"] = cand["p_partkey"].astype("int64")
+    return cand[
+        ["s_acctbal_e2", "s_name", "n_name", "p_partkey", "p_name", "cost_e2"]
+    ].reset_index(drop=True)
+
+
+Q9_NAME_PREFIX = "red "
+
+
+def q9_product_type_profit(sf_dir: str):
+    """TPC-H-Q9-shape product-type profit by nation and year (adapted:
+    no partsupp, so unit cost is the part's list price —
+    ``p_retailprice`` cents — instead of ps_supplycost; profit =
+    discounted revenue minus list-cost x quantity, exact e4 fixed
+    point).
+
+    Scale shape: filtered parts (name-prefix slice) and supplier ->
+    nation broadcast once; lineitem collapses per batch to (orderkey,
+    nation) profit partials — the ONE co-partitioned ``hash_join``
+    attaches the order year; (nation, year) partials then merge in a
+    tiny final groupby (25 x 7 groups)."""
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    nation = _read(sf_dir, "nation", None).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+
+    n2name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    s2n = {
+        int(k): n2name[int(v)]
+        for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])
+    }
+    fpart = part[part["p_name"].str.startswith(Q9_NAME_PREFIX)]
+    retail = dict(
+        zip(
+            fpart["p_partkey"].astype(int),
+            np.rint(fpart["p_retailprice"].to_numpy() * 100).astype(np.int64),
+        )
+    )
+    dims_ref = ray.put((s2n, retail))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        s2n_m, retail_m = ray.get(dims_ref)
+        df = df[df["l_partkey"].isin(retail_m)]
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        cost_e2 = df["l_partkey"].astype(int).map(retail_m).to_numpy(dtype=np.int64)
+        qty = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(),
+                "nation": df["l_suppkey"].astype(int).map(s2n_m),
+                "amount_e4": cents * (100 - dpct) - cost_e2 * 100 * qty,
+            }
+        )
+        return out.groupby(["l_orderkey", "nation"], sort=False, as_index=False)[
+            "amount_e4"
+        ].sum()
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def orders_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "o_year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pandas"),
+        orders.map_batches(orders_prep, batch_format="pandas"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("nation", pa.string()),
+                ("amount_e4", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_year", pa.int64())]
+        ),
+        left_prepare=lambda lf: lf.group_by(["l_orderkey", "nation"]).agg(
+            pl.col("amount_e4").sum()
+        ),
+    )
+
+    def year_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["nation", "o_year"], sort=False, as_index=False)[
+            "amount_e4"
+        ].sum()
+
+    out = (
+        joined.map_batches(year_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()  # bounded: <= 25 nations x 7 years per bucket-batch
+        .groupby(["nation", "o_year"], as_index=False)["amount_e4"]
+        .sum()
+        .rename(columns={"amount_e4": "profit_e4"})
+    )
+    out = out.sort_values(
+        ["nation", "o_year"], ascending=[True, False], kind="mergesort"
+    )
+    return out.reset_index(drop=True)
+
+
+Q11_REGION = "ASIA"
+Q11_FRACTION_DEN = 1000  # keep parts with value > total/1000
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H-Q11-shape important stock (adapted: no partsupp, so a
+    part's "value" is one region's suppliers' discounted revenue on
+    it): parts whose value exceeds 1/1000 of the region-wide total —
+    the global-total scalar-subquery shape.
+
+    Scale shape: region suppliers broadcast as a key set; lineitem
+    collapses to per-partkey revenue partials merged in coarse crc
+    buckets; the part-cardinality totals materialize ONCE distributed
+    and are scanned twice — pass 1 folds per-bucket sums to the global
+    scalar (B rows to the driver), pass 2 is a streaming threshold
+    filter (output-sized result)."""
+    from neuscraper_ray.functions.joins import _bucket_i64
+
+    nation = _read(sf_dir, "nation", None).to_pandas()
+    region = _read(sf_dir, "region", None).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    rkey = int(region.loc[region["r_name"] == Q11_REGION, "r_regionkey"].iloc[0])
+    rnations = set(
+        nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    )
+    skeys_ref = ray.put(
+        set(supp.loc[supp["s_nationkey"].isin(rnations), "s_suppkey"].astype(int))
+    )
+
+    def value_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_suppkey"].isin(ray.get(skeys_ref))]
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dpct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_partkey": df["l_partkey"].to_numpy(),
+                "value_e4": cents * (100 - dpct),
+            }
+        )
+        g = out.groupby("l_partkey", sort=False, as_index=False)["value_e4"].sum()
+        g["pb"] = _bucket_i64(g["l_partkey"].to_numpy(), 16)
+        return g
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", sort=False, as_index=False)["value_e4"].sum()
+
+    totals = (
+        _read(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(value_partial, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .materialize()  # part-cardinality, stays distributed
+    )
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [int(df["value_e4"].sum())]})
+
+    grand = int(
+        totals.map_batches(bucket_sum, batch_format="pandas").to_pandas()["s"].sum()
+    )
+    # value*1000 > grand  <=>  value >= grand//1000 + 1  (integers)
+    thr = grand // Q11_FRACTION_DEN + 1
+    out = totals.filter(expr=f"value_e4 >= {thr}").to_pandas()  # output-sized
+    if len(out) == 0:  # heavy tail can be empty (column-less empty frame)
+        return pd.DataFrame(
+            {
+                "l_partkey": pd.Series([], dtype="int64"),
+                "value_e4": pd.Series([], dtype="int64"),
+            }
+        )
+    out = out.sort_values(
+        ["value_e4", "l_partkey"], ascending=[False, True], kind="mergesort"
+    )
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    return out[["l_partkey", "value_e4"]].reset_index(drop=True)
+
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_EXCL_TYPE = "ECONOMY"
+Q16_SIZES = (1, 3, 9, 14, 19, 23, 36, 45)
+
+
+def q16_part_supplier_counts(sf_dir: str):
+    """TPC-H-Q16-shape supplier counts per part attribute group:
+    distinct suppliers per (brand, type, size) over a filtered part
+    slice, excluding "delinquent" suppliers (s_acctbal < 0 — the
+    NOT-IN-subquery shape; the synthetic supplier has no comment
+    column).
+
+    Scale shape: part attributes and the exclusion key set broadcast
+    once; per batch the (group, suppkey) projection dedups BEFORE the
+    exchange (combiner-style), then ONE keyed exchange on the
+    group-string bucket makes the in-bucket distinct-count global —
+    the count never sees raw lineitem rows."""
+    from neuscraper_ray.functions.joins import str_buckets
+
+    part = _read(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+    ).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    fpart = part[
+        (part["p_brand"] != Q16_EXCL_BRAND)
+        & (part["p_type"] != Q16_EXCL_TYPE)
+        & part["p_size"].isin(Q16_SIZES)
+    ]
+    attrs = {
+        int(r.p_partkey): (r.p_brand, r.p_type, int(r.p_size))
+        for r in fpart.itertuples()
+    }
+    bad = set(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].astype(int))
+    dims_ref = ray.put((attrs, bad))
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        attrs_m, bad_m = ray.get(dims_ref)
+        df = df[
+            df["l_partkey"].isin(attrs_m).to_numpy()
+            & ~df["l_suppkey"].isin(bad_m).to_numpy()
+        ]
+        a = df["l_partkey"].astype(int).map(attrs_m)
+        out = pd.DataFrame(
+            {
+                "p_brand": [t[0] for t in a],
+                "p_type": [t[1] for t in a],
+                "p_size": np.array([t[2] for t in a], dtype=np.int64),
+                "l_suppkey": df["l_suppkey"].to_numpy(),
+            }
+        ).drop_duplicates()
+        key = (
+            out["p_brand"] + "|" + out["p_type"] + "|" + out["p_size"].astype(str)
+        )
+        out["gb"] = str_buckets(key.tolist(), 16)
+        return out
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+        g = (
+            d.groupby(["p_brand", "p_type", "p_size"], sort=False)
+            .size()
+            .reset_index(name="supplier_cnt")
+        )
+        g["supplier_cnt"] = g["supplier_cnt"].astype("int64")
+        return g
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pair_partial, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(bucket_count, batch_format="pandas")
+        .to_pandas()  # group-cardinality: brands x types x 8 sizes
+    )
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+        kind="mergesort",
+    )
+    return out.reset_index(drop=True)
+
+
+Q20_NAME_PREFIX = "small "
+Q20_REGION = "AMERICA"
+Q20_YEAR_LO = "1997-01-01"
+Q20_YEAR_HI = "1998-01-01"
+
+
+def q20_heavy_shippers(sf_dir: str):
+    """TPC-H-Q20-shape "suppliers with excess stock" (adapted: no
+    partsupp availqty, so the semi-join predicate is shipping
+    concentration — a supplier qualifies if, for some name-filtered
+    part, MORE than half its all-time quantity shipped inside one
+    year): one region's qualifying suppliers by name — the
+    EXISTS-over-aggregated-subquery shape.
+
+    Scale shape: filtered partkeys + the region's supplier keys
+    broadcast once; lineitem collapses per batch to (supp, part)
+    [qty_all, qty_yr] partials; ONE keyed exchange on a suppkey bucket
+    finishes both sums, applies the 2x threshold and dedups to
+    distinct suppkeys in-bucket — the driver sees at most |supplier|
+    rows."""
+    from neuscraper_ray.functions.joins import _bucket_i64
+
+    nation = _read(sf_dir, "nation", None).to_pandas()
+    region = _read(sf_dir, "region", None).to_pandas()
+    supp = _read(sf_dir, "supplier", None).to_pandas()
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    rkey = int(region.loc[region["r_name"] == Q20_REGION, "r_regionkey"].iloc[0])
+    rnations = set(
+        nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    )
+    rsupp = supp[supp["s_nationkey"].isin(rnations)]
+    sinfo = {
+        int(r.s_suppkey): (r.s_name, int(round(r.s_acctbal * 100)))
+        for r in rsupp.itertuples()
+    }
+    pkeys = set(
+        part.loc[part["p_name"].str.startswith(Q20_NAME_PREFIX), "p_partkey"].astype(
+            int
+        )
+    )
+    dims_ref = ray.put((set(sinfo), pkeys))
+    lo, hi = np.datetime64(Q20_YEAR_LO), np.datetime64(Q20_YEAR_HI)
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        skeys, pkeys_m = ray.get(dims_ref)
+        keep = df["l_suppkey"].isin(skeys).to_numpy() & df["l_partkey"].isin(
+            pkeys_m
+        ).to_numpy()
+        df = df[keep]
+        qty = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        ship = df["l_shipdate"].to_numpy()
+        in_yr = (ship >= lo) & (ship < hi)
+        out = pd.DataFrame(
+            {
+                "l_suppkey": df["l_suppkey"].to_numpy(),
+                "l_partkey": df["l_partkey"].to_numpy(),
+                "qty_all": qty,
+                "qty_yr": qty * in_yr.astype(np.int64),
+            }
+        )
+        g = out.groupby(["l_suppkey", "l_partkey"], sort=False, as_index=False)[
+            ["qty_all", "qty_yr"]
+        ].sum()
+        g["sb"] = _bucket_i64(g["l_suppkey"].to_numpy(), 16)
+        return g
+
+    def bucket_qualify(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_suppkey", "l_partkey"], sort=False, as_index=False)[
+            ["qty_all", "qty_yr"]
+        ].sum()
+        ok = g.loc[2 * g["qty_yr"] > g["qty_all"], ["l_suppkey"]].drop_duplicates()
+        return ok
+
+    cand = (
+        _read(
+            sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"]
+        )
+        .map_batches(qty_partial, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(bucket_qualify, batch_format="pandas")
+        .to_pandas()  # <= |region's suppliers| rows
+    )
+    info = cand["l_suppkey"].astype(int).map(sinfo)
+    cand["s_name"] = [t[0] for t in info]
+    cand["s_acctbal_e2"] = np.array([t[1] for t in info], dtype=np.int64)
+    cand = cand.sort_values("s_name", kind="mergesort")
+    return cand[["s_name", "s_acctbal_e2"]].reset_index(drop=True)
+
+
 ALL_QUERIES = {
     "docs_token_count": docs_token_count,
     "docs_content_hash": docs_content_hash,
@@ -5028,6 +5492,11 @@ ALL_QUERIES = {
     "q12_priority_class": q12_priority_class,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_sole_failing_supplier": q21_sole_failing_supplier,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_parts": q11_important_parts,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q20_heavy_shippers": q20_heavy_shippers,
     "events_purchase_view_window": events_purchase_view_window,
     "docs_posting_lists": docs_posting_lists,
     "docs_length_deciles": docs_length_deciles,
