@@ -694,6 +694,69 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY n_name"
         ),
+        "docs_pii_stats": (
+            "WITH aug AS (SELECT doc_id, source, text "
+            "|| CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id "
+            "|| '@example.com or 192.168.0.' || (doc_id % 256) || ' now' "
+            "ELSE '' END "
+            "|| CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 soon' "
+            "ELSE '' END "
+            "|| CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 ok' "
+            "ELSE '' END "
+            "|| CASE WHEN doc_id % 17 = 0 THEN "
+            "' card 4111 1111 1111 1111 end' ELSE '' END "
+            "|| CASE WHEN doc_id % 19 = 0 THEN "
+            "' plainly badword1 indeed' ELSE '' END AS t FROM documents), "
+            "c AS (SELECT source, "
+            "len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS e, "
+            "len(regexp_extract_all(t, "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT AS s, "
+            "len(regexp_extract_all(t, "
+            "'(?:\\(\\d{3}\\)\\s?|\\b\\d{3}[-.\\s])\\d{3}[-.\\s]\\d{4}\\b'"
+            "))::BIGINT AS p, "
+            "len(regexp_extract_all(t, "
+            "'\\b(?:\\d[ -]?){12,15}\\d\\b'))::BIGINT AS cc, "
+            "len(regexp_extract_all(t, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))::BIGINT AS ip, "
+            "len(regexp_extract_all(t, "
+            "'(?i)\\b(badword1|badword2|slurword|vileword)\\b'))::BIGINT AS tox "
+            "FROM aug) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(CASE WHEN e + s + p + cc + ip > 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS docs_with_pii, sum(e)::BIGINT AS n_email, "
+            "sum(s)::BIGINT AS n_ssn, sum(p)::BIGINT AS n_phone, "
+            "sum(cc)::BIGINT AS n_cc, sum(ip)::BIGINT AS n_ip, "
+            "sum(tox)::BIGINT AS n_tox "
+            "FROM c GROUP BY source ORDER BY source"
+        ),
+        "docs_fertility_by_lang": (
+            "WITH c AS (SELECT lang, "
+            "len(str_split(text, ' '))::BIGINT AS w, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ' "
+            "|| chr(9) || chr(10) || chr(13) || ']'))::BIGINT AS st, "
+            "length(text)::BIGINT AS ch FROM documents) "
+            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "sum(w)::BIGINT AS n_words, sum(st)::BIGINT AS n_subtokens, "
+            "sum(ch)::BIGINT AS n_chars, "
+            "(sum(st)::BIGINT * 1000000 // sum(w)::BIGINT)::BIGINT "
+            "AS fertility_ppm, "
+            "(sum(ch)::BIGINT * 1000000 // sum(st)::BIGINT)::BIGINT "
+            "AS chars_per_subtoken_ppm "
+            "FROM c GROUP BY lang ORDER BY lang"
+        ),
+        "docs_dedup_keep_best": (
+            "WITH cl AS (" + polyhash.sql_minhash_clusters("documents") + "), "
+            "w AS (SELECT doc_id, len(str_split(text, ' '))::BIGINT "
+            "AS n_words FROM documents), "
+            "r AS (SELECT cl.doc_id, row_number() OVER ("
+            "PARTITION BY cl.cluster_id "
+            "ORDER BY w.n_words DESC, cl.doc_id ASC) AS rk "
+            "FROM cl JOIN w USING (doc_id)) "
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+            "LEFT JOIN r ON d.doc_id = r.doc_id "
+            "WHERE r.doc_id IS NULL OR r.rk = 1"
+        ),
         "q2_min_cost_supplier": (
             "WITH esupp AS (SELECT s_suppkey, s_name, "
             "round(s_acctbal * 100)::BIGINT AS s_acctbal_e2, n_name "

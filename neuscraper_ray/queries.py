@@ -4952,6 +4952,213 @@ def q21_sole_failing_supplier(sf_dir: str):
     return out[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
 
 
+# (type, RE2 pattern) — count-only analytics over the SAME pattern set
+# the scrub stage replaces with (stages/scrub.py PII_PATTERNS); counted
+# independently per type (not sequentially replaced), in RE2 on BOTH
+# engines: pyarrow.compute.count_substring_regex here,
+# regexp_extract_all in the DuckDB twin — same library semantics.
+PII_COUNT_PATTERNS = [
+    ("n_email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("n_ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("n_phone", r"(?:\(\d{3}\)\s?|\b\d{3}[-.\s])\d{3}[-.\s]\d{4}\b"),
+    ("n_cc", r"\b(?:\d[ -]?){12,15}\d\b"),
+    ("n_ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("n_tox", r"(?i)\b(badword1|badword2|slurword|vileword)\b"),
+]
+
+
+def _pii_augment(doc_ids, texts) -> list[str]:
+    """Deterministic PII planting (the raw synthetic corpus contains
+    none): one plant family per small prime, fixed order, so every
+    pattern is genuinely exercised; the SQL twin concatenates the
+    identical strings."""
+    out = []
+    for i, t in zip(doc_ids, texts):
+        if i % 7 == 0:
+            t += f" contact user{i}@example.com or 192.168.0.{i % 256} now"
+        if i % 11 == 0:
+            t += " call 555-123-4567 soon"
+        if i % 13 == 0:
+            t += " ssn 123-45-6789 ok"
+        if i % 17 == 0:
+            t += " card 4111 1111 1111 1111 end"
+        if i % 19 == 0:
+            t += " plainly badword1 indeed"
+        out.append(t)
+    return out
+
+
+def docs_pii_stats(sf_dir: str):
+    """Per-source PII/toxicity exposure report: how many documents and
+    how many raw hits of each PII class a source contributes — the
+    audit a scrub stage is tuned against (which sources leak emails?
+    where does toxicity concentrate?).
+
+    Scale shape: zero shuffle — the six RE2 counters run per batch on
+    zero-copy Arrow (``pc.count_substring_regex``), collapse to one
+    row per source per batch, and only those combiner partials reach
+    the tiny final groupby (|sources| x batches rows)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        aug = pa.array(
+            _pii_augment(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            ),
+            pa.string(),
+        )
+        cols = {"source": t.column("source")}
+        counts = {}
+        for name, pat in PII_COUNT_PATTERNS:
+            counts[name] = pc.cast(pc.count_substring_regex(aug, pat), pa.int64())
+        pii_total = None
+        for name, _ in PII_COUNT_PATTERNS[:-1]:  # toxicity is not PII
+            pii_total = (
+                counts[name]
+                if pii_total is None
+                else pc.add(pii_total, counts[name])
+            )
+        cols.update(counts)
+        cols["docs_with_pii"] = pc.cast(
+            pc.greater(pii_total, 0), pa.int64()
+        )
+        cols["n_docs"] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        df = pa.table(cols).to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False, as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # |sources| x batches combiner partials
+        .groupby("source", as_index=False)
+        .sum()
+        .sort_values("source", kind="mergesort")
+    )
+    cols = ["source", "n_docs", "docs_with_pii"] + [
+        n for n, _ in PII_COUNT_PATTERNS
+    ]
+    return out[cols].reset_index(drop=True)
+
+
+SUBTOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r]"
+
+
+def docs_fertility_by_lang(sf_dir: str):
+    """Tokenizer-fertility report per language: subword-proxy tokens
+    (BPE-ish regex: alnum runs + lone symbols) per whitespace word,
+    and chars per subtoken — the granularity stats a tokenizer-budget
+    plan is built on (fertility varies by language; ppm fixed-point,
+    exact on both engines).
+
+    Scale shape: zero shuffle — two RE2/substring counters per batch
+    on zero-copy Arrow, one combiner row per (lang, batch), ratios
+    computed once per language on the |langs|-row driver frame."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_words": pc.cast(
+                    pc.add(pc.count_substring(txt, " "), 1), pa.int64()
+                ),
+                "n_subtokens": pc.cast(
+                    pc.count_substring_regex(txt, SUBTOKEN_PATTERN), pa.int64()
+                ),
+                "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+            }
+        ).to_pandas().groupby("lang", sort=False, as_index=False).sum().pipe(
+            pa.Table.from_pandas, preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # |langs| x batches partials
+        .groupby("lang", as_index=False)
+        .sum()
+        .sort_values("lang", kind="mergesort")
+    )
+    out["fertility_ppm"] = (
+        out["n_subtokens"] * 1_000_000 // out["n_words"]
+    ).astype("int64")
+    out["chars_per_subtoken_ppm"] = (
+        out["n_chars"] * 1_000_000 // out["n_subtokens"]
+    ).astype("int64")
+    return out[
+        [
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subtokens",
+            "n_chars",
+            "fertility_ppm",
+            "chars_per_subtoken_ppm",
+        ]
+    ].reset_index(drop=True)
+
+
+def docs_dedup_keep_best(sf_dir: str):
+    """Near-dup dedup with a KEEP-BEST retention policy: within each
+    MinHash-LSH cluster keep the longest member (most whitespace
+    words; tie -> min doc_id) instead of ``docs_dedup_apply``'s
+    min-id representative — the policy real curation runs prefer
+    (the longest copy is usually the least-truncated one).
+
+    Scale shape: rides the same labels-size regime as
+    ``near_dup_clusters`` (cluster labels are driver-resident below
+    the documented edge limit); member word-counts come from ONE
+    member-pruned corpus scan (|members| rows collected), the winner
+    argmax is O(|members|) driver work, and the apply pass is a
+    zero-shuffle broadcast anti-filter over the corpus stream."""
+    from neuscraper_ray.functions.dedup import near_dup_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    labels = near_dup_clusters(_read(sf_dir, "documents", ["doc_id", "text"]))
+    if len(labels) == 0:
+        return ds
+    members_ref = ray.put(set(labels["doc_id"].astype(int)))
+
+    def member_words(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"].isin(ray.get(members_ref))]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_words": (df["text"].str.count(" ") + 1).to_numpy(
+                    dtype=np.int64
+                ),
+            }
+        )
+
+    words = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(member_words, batch_format="pandas")
+        .to_pandas()  # |members| rows
+    )
+    m = labels.merge(words, on="doc_id")
+    m = m.sort_values(
+        ["cluster_id", "n_words", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    winners = m.groupby("cluster_id", sort=False).head(1)["doc_id"]
+    drop_ref = ray.put(
+        set(m["doc_id"].astype(int)) - set(winners.astype(int))
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[~df["doc_id"].isin(ray.get(drop_ref))]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 Q2_REGION = "EUROPE"
 Q2_SIZE = 15
 Q2_NAME_SUFFIX = "bolt"
@@ -5492,6 +5699,9 @@ ALL_QUERIES = {
     "q12_priority_class": q12_priority_class,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_sole_failing_supplier": q21_sole_failing_supplier,
+    "docs_pii_stats": docs_pii_stats,
+    "docs_fertility_by_lang": docs_fertility_by_lang,
+    "docs_dedup_keep_best": docs_dedup_keep_best,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_parts": q11_important_parts,
