@@ -167,6 +167,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents JOIN cum ON n_chars = v CROSS JOIN t"
         ),
         "docs_jaccard_pairs": polyhash.sql_jaccard_pairs("documents"),
+        "docs_minhash_precision": polyhash.sql_minhash_precision("documents"),
+        "docs_dedup_cluster_stats": (
+            "WITH cl AS (" + polyhash.sql_minhash_clusters("documents") + "), "
+            "sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size "
+            "FROM cl GROUP BY 1), "
+            "h AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters "
+            "FROM sz GROUP BY 1 UNION ALL SELECT 1, "
+            "(SELECT count(*) FROM documents) - (SELECT count(*) FROM cl)) "
+            "SELECT cluster_size, sum(n_clusters)::BIGINT AS n_clusters, "
+            "(cluster_size * sum(n_clusters))::BIGINT AS n_docs "
+            "FROM h GROUP BY cluster_size HAVING sum(n_clusters) > 0 "
+            "ORDER BY cluster_size"
+        ),
         "docs_cross_source_overlap": (
             "WITH p AS (" + polyhash.sql_jaccard_pairs("documents") + ") "
             "SELECT p.id_a, p.id_b, da.source AS source_a, "

@@ -150,6 +150,14 @@ def _run_bench() -> dict:
         "docs_posting_lists",
         "ann_topk",
         "embedding_near_pairs",
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q16_part_supplier_counts",
+        "q20_heavy_shippers",
+        "docs_pii_stats",
+        "docs_fertility_by_lang",
+        "docs_dedup_keep_best",
+        "docs_minhash_precision",
     ]
     q_times: dict[str, float] = {}
     if mark_sec is not None:

@@ -920,6 +920,122 @@ def jaccard_verified_pairs(
     return both.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
+def minhash_precision_pairs(
+    ds: ray.data.Dataset,
+    num_buckets: int = NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Estimator-quality audit of the MinHash sketch itself: for every
+    LSH candidate pair, the SIGNATURE-estimated Jaccard (matching
+    positions / N_PERM) next to the EXACT shingle-set Jaccard and the
+    absolute error -> Dataset(id_a, id_b, est_jacc_e6, jacc_e6,
+    abs_err_e6). The same self-documenting-quality pattern as the ANN
+    queries' recall@10 column: the approximation ships its own
+    measured accuracy.
+
+    Scale shape: identical to ``jaccard_verified_pairs`` — banded LSH
+    candidates (never all pairs), a per-doc derived table carrying
+    BOTH the shingle list and the 64-slot signature, and two
+    co-partitioned ``hash_join`` passes attaching each side to its
+    edges; both comparisons run vectorized per edge batch. Fixed-point
+    e6 so the DuckDB oracle agrees bit-for-bit.
+    """
+    import pyarrow as _pa
+
+    from neuscraper_ray.functions.joins import hash_join
+
+    a_par, b_par = ph.minhash_params()
+
+    def derived_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        dw = ph.DocWords(texts)
+        sh32, sdoc = ph.doc_shingles32(dw)
+        sigs = ph.minhash_sigs(sh32, sdoc, len(texts), a_par, b_par)
+        bounds = np.searchsorted(sdoc, np.arange(len(texts) + 1))
+        sh_lists = [
+            sh32[bounds[i] : bounds[i + 1]].astype(np.int64).tolist()
+            for i in range(len(texts))
+        ]
+        return pa.table(
+            {
+                "doc_id": ids.astype(np.int64),
+                "sh": _pa.array(sh_lists, _pa.list_(_pa.int64())),
+                # sig values < M = 2^61-1: sign-safe as int64
+                "sig": _pa.array(
+                    sigs.astype(np.int64).tolist(), _pa.list_(_pa.int64())
+                ),
+            }
+        )
+
+    derived = ds.map_batches(derived_rows, batch_format="pyarrow").materialize()
+    edges = minhash_candidate_pairs(ds, num_buckets=num_buckets)
+
+    edge_schema = _pa.schema([("id_a", _pa.int64()), ("id_b", _pa.int64())])
+    d_schema = _pa.schema(
+        [
+            ("doc_id", _pa.int64()),
+            ("sh", _pa.list_(_pa.int64())),
+            ("sig", _pa.list_(_pa.int64())),
+        ]
+    )
+    with_a = hash_join(
+        edges, derived, "id_a", "doc_id", edge_schema, d_schema,
+        num_buckets=num_buckets,
+        left_prepare=lambda lf: lf.unique(subset=["id_a", "id_b"]),
+    ).map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b", "sh_a", "sig_a"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    wa_schema = _pa.schema(
+        [
+            ("id_a", _pa.int64()),
+            ("id_b", _pa.int64()),
+            ("sh_a", _pa.list_(_pa.int64())),
+            ("sig_a", _pa.list_(_pa.int64())),
+        ]
+    )
+    both = hash_join(
+        with_a, derived, "id_b", "doc_id", wa_schema, d_schema,
+        num_buckets=num_buckets,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        id_a = t.column("id_a").to_numpy()
+        id_b = t.column("id_b").to_numpy()
+        sh_a = t.column("sh_a").to_pylist()
+        sh_b = t.column("sh").to_pylist()
+        # signatures are fixed-width: one (n, 64) block comparison
+        sig_a = np.asarray(t.column("sig_a").to_pylist(), dtype=np.int64).reshape(
+            n, -1
+        ) if n else np.empty((0, ph.N_PERM), dtype=np.int64)
+        sig_b = np.asarray(t.column("sig").to_pylist(), dtype=np.int64).reshape(
+            n, -1
+        ) if n else np.empty((0, ph.N_PERM), dtype=np.int64)
+        est = (
+            (sig_a == sig_b).sum(axis=1).astype(np.int64) * 1_000_000
+        ) // ph.N_PERM
+        jacc = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            a = np.asarray(sh_a[i], dtype=np.int64)
+            b = np.asarray(sh_b[i], dtype=np.int64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            jacc[i] = (inter * 1_000_000) // union if union else 1_000_000
+        return pa.table(
+            {
+                "id_a": id_a,
+                "id_b": id_b,
+                "est_jacc_e6": est,
+                "jacc_e6": jacc,
+                "abs_err_e6": np.abs(est - jacc),
+            }
+        )
+
+    return both.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
 # ------------------------------------------- distributed label propagation
 
 

@@ -600,6 +600,46 @@ SELECT id_a, id_b, jacc_e6 FROM (
 """
 
 
+def sql_minhash_precision(table: str = "documents") -> str:
+    """Full DuckDB statement: for every LSH candidate pair, the
+    signature-estimated Jaccard (matching positions / N_PERM) beside
+    the exact shingle-set Jaccard and the absolute error ->
+    (id_a, id_b, est_jacc_e6, jacc_e6, abs_err_e6 BIGINT).
+    Value-identical to ``dedup.minhash_precision_pairs``."""
+    return f"""
+WITH {sql_shingle_ctes(table)},
+{sql_bandsig_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bandsig a JOIN bandsig b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.u, c.v,
+    (sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) * 1000000 // {N_PERM})::BIGINT AS est_jacc_e6
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.u
+  JOIN sig sb ON sb.doc_id = c.v AND sa.j = sb.j
+  GROUP BY c.u, c.v
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
+inter AS (
+  SELECT c.u, c.v, count(*) AS i
+  FROM cand c JOIN shu sa ON sa.doc_id = c.u JOIN shu sb ON sb.doc_id = c.v AND sa.s32 = sb.s32
+  GROUP BY c.u, c.v
+)
+SELECT id_a, id_b, est_jacc_e6, jacc_e6, abs(est_jacc_e6 - jacc_e6)::BIGINT AS abs_err_e6
+FROM (
+  SELECT c.u AS id_a, c.v AS id_b, e.est_jacc_e6,
+    ((coalesce(i.i, 0) * 1000000) // (na.n + nb.n - coalesce(i.i, 0)))::BIGINT AS jacc_e6
+  FROM cand c
+  JOIN est e ON e.u = c.u AND e.v = c.v
+  JOIN sizes na ON na.doc_id = c.u
+  JOIN sizes nb ON nb.doc_id = c.v
+  LEFT JOIN inter i ON i.u = c.u AND i.v = c.v
+)
+"""
+
+
 def sql_minhash_clusters(table: str = "documents", k: int = 3) -> str:
     """Full DuckDB statement: MinHash-LSH candidate edges -> connected
     components -> (doc_id, cluster_id BIGINT = min reachable id).

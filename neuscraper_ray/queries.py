@@ -595,6 +595,53 @@ def docs_jaccard_pairs(sf_dir: str):
     return jaccard_verified_pairs(ds)
 
 
+def docs_minhash_precision(sf_dir: str):
+    """Sketch-quality audit: signature-estimated vs exact Jaccard per
+    LSH candidate pair, with the absolute error as a column — the
+    approximation ships its own measured accuracy (the ANN recall@10
+    pattern applied to MinHash). SQL-verified bit-for-bit (e6
+    fixed point on both engines)."""
+    from neuscraper_ray.functions.dedup import minhash_precision_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_precision_pairs(ds)
+
+
+def docs_dedup_cluster_stats(sf_dir: str):
+    """Duplication-profile report: the near-dup cluster SIZE
+    distribution — (cluster_size, n_clusters, n_docs) including the
+    singleton row — the headline table a dedup paper/report states
+    ("X% of the corpus sits in clusters of size >= k").
+
+    Scale shape: rides ``near_dup_clusters``'s labels regime (driver-
+    resident below the documented edge limit); the histogram is
+    O(|clusters|) driver arithmetic plus ONE corpus count for the
+    singleton row — the corpus text is scanned once by the cluster
+    machinery and never again."""
+    from neuscraper_ray.functions.dedup import near_dup_clusters
+
+    total = _read(sf_dir, "documents", ["doc_id"]).count()
+    labels = near_dup_clusters(_read(sf_dir, "documents", ["doc_id", "text"]))
+    if len(labels) == 0:
+        sizes = pd.DataFrame({"cluster_size": [], "n_clusters": []})
+        clustered = 0
+    else:
+        cs = labels.groupby("cluster_id").size()
+        sizes = (
+            cs.value_counts()
+            .rename_axis("cluster_size")
+            .reset_index(name="n_clusters")
+        )
+        clustered = int(len(labels))
+    single = pd.DataFrame({"cluster_size": [1], "n_clusters": [total - clustered]})
+    out = pd.concat([sizes, single], ignore_index=True)
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    out["n_docs"] = (out["cluster_size"] * out["n_clusters"]).astype("int64")
+    out = out[out["n_clusters"] > 0]
+    return out.sort_values("cluster_size", kind="mergesort").reset_index(drop=True)
+
+
 def docs_cross_source_overlap(sf_dir: str):
     """Inter-corpus leakage report: verified near-dup pairs
     (exact-Jaccard >= 0.5) whose two documents come from DIFFERENT
@@ -5659,6 +5706,8 @@ ALL_QUERIES = {
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_fingerprint": docs_fingerprint,
     "docs_jaccard_pairs": docs_jaccard_pairs,
+    "docs_minhash_precision": docs_minhash_precision,
+    "docs_dedup_cluster_stats": docs_dedup_cluster_stats,
     "docs_cross_source_overlap": docs_cross_source_overlap,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_decontaminate": docs_decontaminate,
