@@ -5251,15 +5251,24 @@ def q2_min_cost_supplier(sf_dir: str):
         & part["p_name"].str.endswith(Q2_NAME_SUFFIX)
     ]
     pname = dict(zip(fpart["p_partkey"].astype(int), fpart["p_name"]))
-    dims_ref = ray.put((set(sinfo), set(pname)))
+    # membership as dense boolean arrays (keys are 0..N-1 dimension
+    # surrogates): one vectorized gather per batch, no hashed isin
+    s_mask = np.zeros(int(supp["s_suppkey"].max()) + 1, dtype=bool)
+    s_mask[np.fromiter(sinfo, dtype=np.int64)] = True
+    p_mask = np.zeros(int(part["p_partkey"].max()) + 1, dtype=bool)
+    p_mask[np.fromiter(pname, dtype=np.int64)] = True
+    dims_ref = ray.put((s_mask, p_mask))
 
     from neuscraper_ray.functions.joins import _bucket_i64
 
     def cost_partial(df: pd.DataFrame) -> pd.DataFrame:
-        skeys, pkeys = ray.get(dims_ref)
-        keep = df["l_suppkey"].isin(skeys).to_numpy() & df["l_partkey"].isin(
-            pkeys
-        ).to_numpy()
+        s_m, p_m = ray.get(dims_ref)
+        sk = df["l_suppkey"].to_numpy()
+        pk = df["l_partkey"].to_numpy()
+        keep = (
+            (sk < len(s_m)) & s_m[np.minimum(sk, len(s_m) - 1)]
+            & (pk < len(p_m)) & p_m[np.minimum(pk, len(p_m) - 1)]
+        )
         df = df[keep]
         out = pd.DataFrame(
             {
@@ -5336,18 +5345,17 @@ def q9_product_type_profit(sf_dir: str):
     part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
 
     n2name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
-    s2n = {
-        int(k): n2name[int(v)]
-        for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])
-    }
+    # dense lookup arrays (dimension keys are 0..N-1 surrogates):
+    # suppkey -> nationkey as one int gather per batch; the nation NAME
+    # attaches only in the final |nations x years| fold
+    s2natkey = np.full(int(supp["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    s2natkey[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
     fpart = part[part["p_name"].str.startswith(Q9_NAME_PREFIX)]
-    retail = dict(
-        zip(
-            fpart["p_partkey"].astype(int),
-            np.rint(fpart["p_retailprice"].to_numpy() * 100).astype(np.int64),
-        )
-    )
-    dims_ref = ray.put((s2n, retail))
+    retail_arr = np.full(int(part["p_partkey"].max()) + 1, -1, dtype=np.int64)
+    retail_arr[fpart["p_partkey"].to_numpy()] = np.rint(
+        fpart["p_retailprice"].to_numpy() * 100
+    ).astype(np.int64)
+    dims_ref = ray.put((s2natkey, retail_arr))
 
     li = _read(
         sf_dir,
@@ -5356,20 +5364,23 @@ def q9_product_type_profit(sf_dir: str):
     )
 
     def li_prep(df: pd.DataFrame) -> pd.DataFrame:
-        s2n_m, retail_m = ray.get(dims_ref)
-        df = df[df["l_partkey"].isin(retail_m)]
+        s2n_a, retail_a = ray.get(dims_ref)
+        pk = df["l_partkey"].to_numpy()
+        cost_e2 = retail_a[np.minimum(pk, len(retail_a) - 1)]
+        keep = (pk < len(retail_a)) & (cost_e2 >= 0)
+        df = df[keep]
+        cost_e2 = cost_e2[keep]
         cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
         dpct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
-        cost_e2 = df["l_partkey"].astype(int).map(retail_m).to_numpy(dtype=np.int64)
         qty = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
         out = pd.DataFrame(
             {
                 "l_orderkey": df["l_orderkey"].to_numpy(),
-                "nation": df["l_suppkey"].astype(int).map(s2n_m),
+                "natkey": s2n_a[df["l_suppkey"].to_numpy()],
                 "amount_e4": cents * (100 - dpct) - cost_e2 * 100 * qty,
             }
         )
-        return out.groupby(["l_orderkey", "nation"], sort=False, as_index=False)[
+        return out.groupby(["l_orderkey", "natkey"], sort=False, as_index=False)[
             "amount_e4"
         ].sum()
 
@@ -5391,34 +5402,35 @@ def q9_product_type_profit(sf_dir: str):
         left_schema=pa.schema(
             [
                 ("l_orderkey", pa.int64()),
-                ("nation", pa.string()),
+                ("natkey", pa.int64()),
                 ("amount_e4", pa.int64()),
             ]
         ),
         right_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("o_year", pa.int64())]
         ),
-        left_prepare=lambda lf: lf.group_by(["l_orderkey", "nation"]).agg(
+        left_prepare=lambda lf: lf.group_by(["l_orderkey", "natkey"]).agg(
             pl.col("amount_e4").sum()
         ),
     )
 
     def year_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["nation", "o_year"], sort=False, as_index=False)[
+        return df.groupby(["natkey", "o_year"], sort=False, as_index=False)[
             "amount_e4"
         ].sum()
 
     out = (
         joined.map_batches(year_partial, batch_format="pandas", batch_size=None)
         .to_pandas()  # bounded: <= 25 nations x 7 years per bucket-batch
-        .groupby(["nation", "o_year"], as_index=False)["amount_e4"]
+        .groupby(["natkey", "o_year"], as_index=False)["amount_e4"]
         .sum()
         .rename(columns={"amount_e4": "profit_e4"})
     )
+    out["nation"] = out["natkey"].astype(int).map(n2name)
     out = out.sort_values(
         ["nation", "o_year"], ascending=[True, False], kind="mergesort"
     )
-    return out.reset_index(drop=True)
+    return out[["nation", "o_year", "profit_e4"]].reset_index(drop=True)
 
 
 Q11_REGION = "ASIA"
@@ -5446,12 +5458,16 @@ def q11_important_parts(sf_dir: str):
     rnations = set(
         nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].astype(int)
     )
-    skeys_ref = ray.put(
-        set(supp.loc[supp["s_nationkey"].isin(rnations), "s_suppkey"].astype(int))
-    )
+    s_mask = np.zeros(int(supp["s_suppkey"].max()) + 1, dtype=bool)
+    s_mask[
+        supp.loc[supp["s_nationkey"].isin(rnations), "s_suppkey"].to_numpy()
+    ] = True
+    skeys_ref = ray.put(s_mask)
 
     def value_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_suppkey"].isin(ray.get(skeys_ref))]
+        s_m = ray.get(skeys_ref)
+        sk = df["l_suppkey"].to_numpy()
+        df = df[(sk < len(s_m)) & s_m[np.minimum(sk, len(s_m) - 1)]]
         cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
         dpct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
         out = pd.DataFrame(
@@ -5528,26 +5544,35 @@ def q16_part_supplier_counts(sf_dir: str):
         & (part["p_type"] != Q16_EXCL_TYPE)
         & part["p_size"].isin(Q16_SIZES)
     ]
-    attrs = {
-        int(r.p_partkey): (r.p_brand, r.p_type, int(r.p_size))
-        for r in fpart.itertuples()
-    }
-    bad = set(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].astype(int))
-    dims_ref = ray.put((attrs, bad))
+    # dense attribute arrays (partkeys are 0..N-1 surrogates): three
+    # vectorized gathers per batch instead of a per-row tuple map
+    npart = int(part["p_partkey"].max()) + 1
+    brand_arr = np.full(npart, "", dtype=object)
+    type_arr = np.full(npart, "", dtype=object)
+    size_arr = np.full(npart, -1, dtype=np.int64)
+    fk = fpart["p_partkey"].to_numpy()
+    brand_arr[fk] = fpart["p_brand"].to_numpy()
+    type_arr[fk] = fpart["p_type"].to_numpy()
+    size_arr[fk] = fpart["p_size"].to_numpy()
+    good_mask = np.ones(int(supp["s_suppkey"].max()) + 1, dtype=bool)
+    good_mask[supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy()] = False
+    dims_ref = ray.put((brand_arr, type_arr, size_arr, good_mask))
 
     def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
-        attrs_m, bad_m = ray.get(dims_ref)
-        df = df[
-            df["l_partkey"].isin(attrs_m).to_numpy()
-            & ~df["l_suppkey"].isin(bad_m).to_numpy()
-        ]
-        a = df["l_partkey"].astype(int).map(attrs_m)
+        brand_a, type_a, size_a, good_m = ray.get(dims_ref)
+        pk = df["l_partkey"].to_numpy()
+        sk = df["l_suppkey"].to_numpy()
+        keep = (
+            (pk < len(size_a)) & (size_a[np.minimum(pk, len(size_a) - 1)] >= 0)
+            & (sk < len(good_m)) & good_m[np.minimum(sk, len(good_m) - 1)]
+        )
+        pk, sk = pk[keep], sk[keep]
         out = pd.DataFrame(
             {
-                "p_brand": [t[0] for t in a],
-                "p_type": [t[1] for t in a],
-                "p_size": np.array([t[2] for t in a], dtype=np.int64),
-                "l_suppkey": df["l_suppkey"].to_numpy(),
+                "p_brand": brand_a[pk],
+                "p_type": type_a[pk],
+                "p_size": size_a[pk],
+                "l_suppkey": sk,
             }
         ).drop_duplicates()
         key = (
@@ -5616,19 +5641,23 @@ def q20_heavy_shippers(sf_dir: str):
         int(r.s_suppkey): (r.s_name, int(round(r.s_acctbal * 100)))
         for r in rsupp.itertuples()
     }
-    pkeys = set(
-        part.loc[part["p_name"].str.startswith(Q20_NAME_PREFIX), "p_partkey"].astype(
-            int
-        )
-    )
-    dims_ref = ray.put((set(sinfo), pkeys))
+    s_mask = np.zeros(int(supp["s_suppkey"].max()) + 1, dtype=bool)
+    s_mask[np.fromiter(sinfo, dtype=np.int64)] = True
+    p_mask = np.zeros(int(part["p_partkey"].max()) + 1, dtype=bool)
+    p_mask[
+        part.loc[part["p_name"].str.startswith(Q20_NAME_PREFIX), "p_partkey"].to_numpy()
+    ] = True
+    dims_ref = ray.put((s_mask, p_mask))
     lo, hi = np.datetime64(Q20_YEAR_LO), np.datetime64(Q20_YEAR_HI)
 
     def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
-        skeys, pkeys_m = ray.get(dims_ref)
-        keep = df["l_suppkey"].isin(skeys).to_numpy() & df["l_partkey"].isin(
-            pkeys_m
-        ).to_numpy()
+        s_m, p_m = ray.get(dims_ref)
+        sk = df["l_suppkey"].to_numpy()
+        pk = df["l_partkey"].to_numpy()
+        keep = (
+            (sk < len(s_m)) & s_m[np.minimum(sk, len(s_m) - 1)]
+            & (pk < len(p_m)) & p_m[np.minimum(pk, len(p_m) - 1)]
+        )
         df = df[keep]
         qty = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
         ship = df["l_shipdate"].to_numpy()
