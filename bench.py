@@ -61,7 +61,12 @@ def _run_bench() -> dict:
     from neuscraper_ray.queries import ALL_QUERIES, _pages_dir_for
 
     # ---------- headline: curation pipeline over synthetic pages ----------
-    mult = int(os.environ.get("BENCH_PAGES_MULT", "4"))
+    # 16 x documents rows (80k pages at sf0.1): the 32-cpu leg must run
+    # >=15s of steady state or session ramp (~2s serial floor) dominates
+    # the numerator and under-states scaling efficiency (measured: a
+    # 20k-page job reads ~0.3 lower 8->32 efficiency than an 80k-page
+    # job under identical contention)
+    mult = int(os.environ.get("BENCH_PAGES_MULT", "16"))
     pages_dir = _pages_dir_for(sf_dir, mult=mult)  # generation untimed (cached)
     def read_pages():
         # prune at the read: the pipeline needs url+html only
