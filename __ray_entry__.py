@@ -476,6 +476,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM normed"
         ),
         "docs_url_filter": _urls.sql_url_filter("documents"),
+        "docs_domain_cap": (
+            "WITH "
+            + _urls.sql_url_norm_ctes("documents")
+            + ", dom AS (SELECT doc_id, "
+            "regexp_extract(url_norm, '://([^/]*)', 1) AS domain FROM normed) "
+            "SELECT domain, doc_id, rn FROM ("
+            "SELECT domain, doc_id, row_number() OVER (PARTITION BY domain "
+            "ORDER BY (" + polyhash.sql_fingerprint("doc_id::VARCHAR") + "), "
+            "doc_id)::BIGINT AS rn FROM dom) WHERE rn <= 25"
+        ),
+        "docs_train_split": (
+            "SELECT doc_id, g AS gate, CASE WHEN g < 10000 THEN 'test' "
+            "WHEN g < 60000 THEN 'valid' ELSE 'train' END AS split FROM ("
+            "SELECT doc_id, (" + polyhash.sql_gate_ppm("doc_id::VARCHAR")
+            + ")::BIGINT AS g FROM documents)"
+        ),
         "docs_domain_stats": (
             "WITH "
             + _urls.sql_url_norm_ctes("documents")

@@ -305,3 +305,63 @@ def domain_stats(ds: ray.data.Dataset, num_buckets: int = NUM_BUCKETS) -> pd.Dat
     df["n_unique_urls"] = df["n_unique_urls"].astype("int64")
     df["dup_rate_e4"] = ((df["n_docs"] - df["n_unique_urls"]) * 10000) // df["n_docs"]
     return df[["domain", "n_docs", "n_unique_urls", "dup_rate_e4"]]
+
+
+def domain_cap(
+    ds: ray.data.Dataset, cap: int = 25, num_buckets: int = NUM_BUCKETS
+) -> ray.data.Dataset:
+    """Per-domain crawl-budget cap: keep at most ``cap`` documents per
+    canonical host, chosen by smallest doc-id fingerprint (uniform in
+    the id, rerun-stable, engine-independent) — the anti-spam /
+    diversity rule every web corpus applies so one mirror farm cannot
+    dominate the training mix (RefinedWeb §3.1 caps URLs per domain;
+    C4 variants cap pages per host). Returns the kept rows as
+    ``(domain, doc_id, rn)`` with ``rn`` the 1-based in-domain rank.
+
+    Scale shape: the same top-k combiner prune as
+    ``docs_sample_per_lang`` — each batch keeps at most ``cap`` rows
+    per domain BEFORE the shuffle (a domain's global cap-smallest set
+    is a subset of the union of batch-local cap-smallest sets), then
+    ONE domain-bucket exchange of the surviving (doc_id, domain, fp)
+    triples (<= cap x domains x batches rows), in-bucket vectorized
+    sort + cumcount. Document text never moves."""
+    import numpy as np
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import str_buckets
+    from neuscraper_ray.functions.polyhash import int_fingerprints
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        pf = pl.from_pandas(df[["doc_id", "source"]])
+        dom = (
+            pf.with_columns(derive_url_expr().alias("u"))
+            .select(
+                normalize_url_expr(pl.col("u"))
+                .str.extract(r"://([^/]*)", 1)
+                .alias("domain")
+            )["domain"]
+            .to_pandas()
+        )
+        out = pd.DataFrame(
+            {
+                "domain": dom,
+                "doc_id": df["doc_id"].to_numpy(),
+                "fp": int_fingerprints(df["doc_id"].to_numpy()).astype(np.int64),
+            }
+        ).sort_values(["domain", "fp", "doc_id"], kind="mergesort")
+        out = out[out.groupby("domain", sort=False).cumcount() < cap].copy()
+        out["hb"] = str_buckets(out["domain"].tolist(), num_buckets)
+        return out
+
+    def take_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        df = df.sort_values(["domain", "fp", "doc_id"], kind="mergesort")
+        df["rn"] = (df.groupby("domain", sort=False).cumcount() + 1).astype(np.int64)
+        return df.loc[df["rn"] <= cap, ["domain", "doc_id", "rn"]]
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(take_bucket, batch_format="pandas")
+    )

@@ -372,6 +372,21 @@ def docs_domain_stats(sf_dir: str):
     return domain_stats(ds)
 
 
+def docs_domain_cap(sf_dir: str):
+    """Per-domain crawl-budget cap (keep <= 25 docs per canonical
+    host, smallest-fingerprint-first): the anti-spam diversity rule a
+    web corpus applies before mixing, so one mirror farm cannot
+    dominate training (RefinedWeb caps per-domain URLs). SQL-verified
+    — the rank is a pure function of (domain, doc_id) via the shared
+    polyhash contract. Scale shape: batch-local top-cap combiner prune
+    BEFORE the one domain-bucket exchange; text never moves (see
+    functions/urls.py:domain_cap)."""
+    from neuscraper_ray.functions.urls import domain_cap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return domain_cap(ds, cap=25)
+
+
 def docs_lang_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     agg = ds.groupby("lang").aggregate(
@@ -704,6 +719,31 @@ def docs_stratified_sample(sf_dir: str):
         return df[h % mod == 0]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def docs_train_split(sf_dir: str):
+    """Deterministic train/valid/test split assignment: every doc gets
+    a disjoint split from a uniform polyhash gate on its id (1% test,
+    5% valid, 94% train) — the held-out-eval partitioning step of a
+    training-data pipeline. Unlike RNG-based splits, the assignment is
+    a pure function of the row: stable across reruns, partitionings
+    and engines (the SQL oracle reproduces every value), and safe to
+    recompute incrementally as the corpus grows — a doc never migrates
+    between splits. Zero shuffle: one vectorized map pass; in
+    production the result feeds ``write_parquet(partition_cols=
+    ['split'])`` for three resumable output trees."""
+    from neuscraper_ray.functions.polyhash import gate_ppm, int_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        g = gate_ppm(int_fingerprints(df["doc_id"].to_numpy()))
+        split = np.where(g < 10_000, "test", np.where(g < 60_000, "valid", "train"))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "gate": g, "split": split}
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
 
 
 def _alpha_half_rates(totals: pd.DataFrame) -> dict[str, int]:
@@ -5717,6 +5757,7 @@ ALL_QUERIES = {
     "docs_bpe_tokenize": docs_bpe_tokenize,
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_url_dedup": docs_url_dedup,
+    "docs_domain_cap": docs_domain_cap,
     "docs_domain_stats": docs_domain_stats,
     "docs_lang_stats": docs_lang_stats,
     "docs_word_stats": docs_word_stats,
@@ -5739,6 +5780,7 @@ ALL_QUERIES = {
     "docs_dedup_cluster_stats": docs_dedup_cluster_stats,
     "docs_cross_source_overlap": docs_cross_source_overlap,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_train_split": docs_train_split,
     "docs_decontaminate": docs_decontaminate,
     "docs_contamination_frac": docs_contamination_frac,
     "docs_mix_sources": docs_mix_sources,
