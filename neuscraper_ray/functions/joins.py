@@ -90,6 +90,7 @@ def hash_join(
     num_buckets: int = NUM_BUCKETS,
     right_prepare=None,
     left_prepare=None,
+    post_join=None,
 ) -> ray.data.Dataset:
     """Co-partitioned hash join on int64 OR string keys -> Dataset with
     the key (named ``left_on``) + both sides' payload columns. String
@@ -109,6 +110,13 @@ def hash_join(
     — one all-to-all total, and never a high-cardinality
     ``Dataset.groupby().aggregate()`` (whose per-group Python cost
     dwarfs the data at scale).
+
+    ``post_join`` (optional, polars DataFrame -> DataFrame) runs on
+    the JOINED frame inside each bucket — the fusion point for a
+    low-cardinality final aggregate: emit per-bucket partials here and
+    finish them on the driver (<= num_buckets x groups rows), instead
+    of paying a third all-to-all for a trailing
+    ``groupby().aggregate()`` whose input is already tiny.
     """
     l_payload = [f for f in left_schema if f.name != left_on]
     r_payload = [f for f in right_schema if f.name != right_on]
@@ -164,6 +172,8 @@ def hash_join(
         if right_prepare is not None:
             rf = right_prepare(rf)
         joined = lf.join(rf, on=left_on, how="inner" if how == "inner" else "left")
+        if post_join is not None:
+            joined = post_join(joined)
         return joined.to_arrow()
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

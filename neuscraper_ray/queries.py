@@ -2123,19 +2123,27 @@ def q7_volume_shipping(sf_dir: str):
     group key includes a derived time dimension (ship year) carried
     through the lineitem combiner.
 
-    Scale shape (the Q5 topology): nation/supplier broadcast once;
-    customer pre-filtered to the two nations; orders NOT date-pruned
-    (Q7 filters on ship date, an order can straddle years) but
-    projected to two columns; lineitem date-pruned AT THE READ and
-    collapsed to per-batch (orderkey, s_nat, year, rev) combiner
-    partials before its join. Exactly TWO all-to-all exchanges, then a
-    <= 2x2xyears-group aggregate over combiner partials."""
+    Scale shape: nation/supplier broadcast once; customer projected to
+    two int columns, pre-filtered to the two nations and broadcast as
+    sorted (custkey -> nationkey) arrays probed by searchsorted inside
+    the orders map (the Q3 pattern — a 2-of-25-nations customer slice
+    is dimension-sized; if it ever outgrows broadcast, the
+    co-partitioned ``hash_join`` on custkey is the tested fallback,
+    see ``order_totals_join``); orders NOT date-pruned (Q7 filters on
+    ship date, an order can straddle years) but projected to two
+    columns; lineitem date-pruned AT THE READ and collapsed to
+    per-batch (orderkey, s_nat, year, rev) combiner partials before
+    its join. Exactly ONE all-to-all exchange — the final <=
+    2x2xyears-group aggregate is fused into the join bucket
+    (``post_join``) and finished on the driver over <= buckets x
+    groups partial rows."""
     import pyarrow.compute as pc
 
     from neuscraper_ray.functions.joins import hash_join
 
     nation = _read(sf_dir, "nation", None).to_pandas()
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     name2key = dict(zip(nation["n_name"], nation["n_nationkey"].astype(int)))
     ka, kb = name2key[Q7_NATION_A], name2key[Q7_NATION_B]
     pair = {ka, kb}
@@ -2145,31 +2153,29 @@ def q7_volume_shipping(sf_dir: str):
         if int(n) in pair
     }
     key2name = {ka: Q7_NATION_A, kb: Q7_NATION_B}
-    dims_ref = ray.put((pair, supp_nation, key2name))
+    cust_pair = cust[cust["c_nationkey"].isin(pair)]
+    cust_keys = np.sort(cust_pair["c_custkey"].to_numpy().astype(np.int64))
+    order_ck = cust_pair.sort_values("c_custkey")
+    cust_nats = order_ck["c_nationkey"].to_numpy().astype(np.int64)
+    dims_ref = ray.put((pair, supp_nation, key2name, cust_keys, cust_nats))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
-    def cust_prep(df: pd.DataFrame) -> pd.DataFrame:
-        nations, _, _ = ray.get(dims_ref)
-        df = df[df["c_nationkey"].isin(nations)].copy()
-        df["c_nationkey"] = df["c_nationkey"].astype(np.int64)
-        return df
+    def orders_prep(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, ck, cn = ray.get(dims_ref)
+        keys = df["o_custkey"].to_numpy().astype(np.int64)
+        if len(ck) == 0:
+            hit = np.zeros(len(keys), dtype=bool)
+            nats = np.empty(0, np.int64)
+        else:
+            idx = np.minimum(np.searchsorted(ck, keys), len(ck) - 1)
+            hit = ck[idx] == keys
+            nats = cn[idx[hit]]
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy()[hit], "c_nationkey": nats}
+        )
 
-    cust_f = cust.map_batches(cust_prep, batch_format="pandas")
-
-    ordercust = hash_join(
-        orders,
-        cust_f,
-        left_on="o_custkey",
-        right_on="c_custkey",
-        left_schema=pa.schema(
-            [("o_custkey", pa.int64()), ("o_orderkey", pa.int64())]
-        ),
-        right_schema=pa.schema(
-            [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]
-        ),
-    )
+    ordercust = orders.map_batches(orders_prep, batch_format="pandas")
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -2179,7 +2185,7 @@ def q7_volume_shipping(sf_dir: str):
     )
 
     def li_prep(df: pd.DataFrame) -> pd.DataFrame:
-        _, s2n, _ = ray.get(dims_ref)
+        _, s2n, _, _, _ = ray.get(dims_ref)
         s_nat = df["l_suppkey"].map(s2n)
         keep = s_nat.notna().to_numpy()
         cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
@@ -2198,7 +2204,18 @@ def q7_volume_shipping(sf_dir: str):
 
     li_partials = li.map_batches(li_prep, batch_format="pandas")
 
-    joined = hash_join(
+    def bucket_finish(j):
+        # in-bucket: the DIRECTIONAL cross-pair predicate + the final
+        # aggregate collapsed to <= 2x2xyears partial rows per bucket
+        import polars as pl
+
+        return (
+            j.filter(pl.col("s_nat") != pl.col("c_nationkey"))
+            .group_by(["s_nat", "c_nationkey", "l_year"])
+            .agg(pl.col("rev_e4").sum())
+        )
+
+    partials = hash_join(
         li_partials,
         ordercust,
         left_on="l_orderkey",
@@ -2212,45 +2229,11 @@ def q7_volume_shipping(sf_dir: str):
             ]
         ),
         right_schema=pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("o_custkey", pa.int64()),
-                ("c_nationkey", pa.int64()),
-            ]
+            [("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())]
         ),
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        # the DIRECTIONAL cross-pair predicate: nations must differ
-        t = t.filter(pc.not_equal(t["s_nat"], t["c_nationkey"]))
-        _, _, k2n = ray.get(dims_ref)
-        df = pd.DataFrame(
-            {
-                "supp_nation": pd.Series(
-                    t["s_nat"].to_numpy(zero_copy_only=False)
-                ).map(k2n),
-                "cust_nation": pd.Series(
-                    t["c_nationkey"].to_numpy(zero_copy_only=False)
-                ).map(k2n),
-                "l_year": t["l_year"].to_numpy(zero_copy_only=False),
-                "rev": t["rev_e4"].to_numpy(zero_copy_only=False),
-            }
-        )
-        return pa.Table.from_pandas(
-            df.groupby(
-                ["supp_nation", "cust_nation", "l_year"],
-                sort=False,
-                as_index=False,
-            )["rev"].sum(),
-            preserve_index=False,
-        )
-
-    partials = joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
-    agg = partials.groupby(["supp_nation", "cust_nation", "l_year"]).aggregate(
-        Sum("rev", alias_name="revenue_e4")
-    )
-    df = agg.to_pandas()
-    if df.empty:  # tiny scales can have no crossing pair in the window
+        post_join=bucket_finish,
+    ).to_pandas()
+    if partials.empty:  # tiny scales can have no crossing pair in the window
         return pd.DataFrame(
             {
                 "supp_nation": pd.Series(dtype=object),
@@ -2259,6 +2242,17 @@ def q7_volume_shipping(sf_dir: str):
                 "revenue_e4": pd.Series(dtype="int64"),
             }
         )
+    df = pd.DataFrame(
+        {
+            "supp_nation": partials["s_nat"].map(key2name),
+            "cust_nation": partials["c_nationkey"].map(key2name),
+            "l_year": partials["l_year"].astype("int64"),
+            "rev_e4": partials["rev_e4"].astype("int64"),
+        }
+    )
+    df = df.groupby(
+        ["supp_nation", "cust_nation", "l_year"], sort=False, as_index=False
+    )["rev_e4"].sum().rename(columns={"rev_e4": "revenue_e4"})
     df["revenue_e4"] = df["revenue_e4"].astype("int64")
     df["l_year"] = df["l_year"].astype("int64")
     return df[
@@ -2284,11 +2278,16 @@ def q8_market_share(sf_dir: str):
 
     Scale shape: part filtered to the type and broadcast as a partkey
     set (the repo's Q17/Q19 disjunctive-pushdown pattern); supplier ->
-    nation broadcast; customer pre-filtered to the region's nations;
-    orders date-pruned AT THE READ; lineitem collapsed to per-batch
-    (orderkey, is_target, rev) partials before its join. TWO all-to-all
-    exchanges, then a per-year aggregate of (rev, target_rev) partials
-    — the ratio is computed once per year at the end, never per row."""
+    nation broadcast; customer pre-filtered to the region's nations
+    and broadcast as a sorted custkey array probed by searchsorted in
+    the orders map (the Q3 pattern — hash_join on custkey is the
+    tested fallback if the slice outgrows broadcast); orders
+    date-pruned AT THE READ; lineitem collapsed to per-batch
+    (orderkey, is_target, rev) partials before its join. ONE
+    all-to-all exchange — the per-year (rev, target_rev) aggregate is
+    fused into the join bucket (``post_join``) and finished on the
+    driver; the ratio is computed once per year at the end, never per
+    row."""
     import pyarrow.compute as pc
 
     from neuscraper_ray.functions.joins import hash_join
@@ -2309,7 +2308,13 @@ def q8_market_share(sf_dir: str):
         supp.loc[supp["s_nationkey"] == target_key, "s_suppkey"].astype(int)
     )
     type_parts = set(part.loc[part["p_type"] == Q8_PART_TYPE, "p_partkey"].astype(int))
-    dims_ref = ray.put((region_nations, target_supps, type_parts))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    region_custs = np.sort(
+        cust.loc[cust["c_nationkey"].isin(region_nations), "c_custkey"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    dims_ref = ray.put((region_custs, target_supps, type_parts))
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -2319,34 +2324,26 @@ def q8_market_share(sf_dir: str):
     )
 
     def orders_prep(df: pd.DataFrame) -> pd.DataFrame:
+        # semi-join against the broadcast region-customer key array
+        # (the Q3 pattern; hash_join on custkey is the tested fallback
+        # if a region's customer slice ever outgrows broadcast)
+        rc, _, _ = ray.get(dims_ref)
+        keys = df["o_custkey"].to_numpy().astype(np.int64)
+        if len(rc) == 0:
+            hit = np.zeros(len(keys), dtype=bool)
+        else:
+            idx = np.minimum(np.searchsorted(rc, keys), len(rc) - 1)
+            hit = rc[idx] == keys
         return pd.DataFrame(
             {
-                "o_orderkey": df["o_orderkey"].to_numpy(),
-                "o_custkey": df["o_custkey"].to_numpy(),
-                "o_year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+                "o_orderkey": df["o_orderkey"].to_numpy()[hit],
+                "o_year": df["o_orderdate"].dt.year.to_numpy()[hit].astype(
+                    np.int64
+                ),
             }
         )
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-
-    def cust_prep(df: pd.DataFrame) -> pd.DataFrame:
-        nations, _, _ = ray.get(dims_ref)
-        return df.loc[df["c_nationkey"].isin(nations), ["c_custkey"]]
-
-    ordercust = hash_join(
-        orders.map_batches(orders_prep, batch_format="pandas"),
-        cust.map_batches(cust_prep, batch_format="pandas"),
-        left_on="o_custkey",
-        right_on="c_custkey",
-        left_schema=pa.schema(
-            [
-                ("o_custkey", pa.int64()),
-                ("o_orderkey", pa.int64()),
-                ("o_year", pa.int64()),
-            ]
-        ),
-        right_schema=pa.schema([("c_custkey", pa.int64())]),
-    )
+    ordercust = orders.map_batches(orders_prep, batch_format="pandas")
 
     li = _read(
         sf_dir,
@@ -2377,7 +2374,15 @@ def q8_market_share(sf_dir: str):
 
     li_partials = li.map_batches(li_prep, batch_format="pandas")
 
-    joined = hash_join(
+    def bucket_finish(j):
+        # in-bucket final aggregate: <= years partial rows per bucket
+        import polars as pl
+
+        return j.group_by("o_year").agg(
+            pl.col("rev_e4").sum(), pl.col("target_e4").sum()
+        )
+
+    partials = hash_join(
         li_partials,
         ordercust,
         left_on="l_orderkey",
@@ -2390,29 +2395,11 @@ def q8_market_share(sf_dir: str):
             ]
         ),
         right_schema=pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("o_custkey", pa.int64()),
-                ("o_year", pa.int64()),
-            ]
+            [("o_orderkey", pa.int64()), ("o_year", pa.int64())]
         ),
-    )
-
-    def year_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("o_year", sort=False, as_index=False)[
-            ["rev_e4", "target_e4"]
-        ].sum()
-
-    agg = (
-        joined.map_batches(year_partial, batch_format="pandas", batch_size=None)
-        .groupby("o_year")
-        .aggregate(
-            Sum("rev_e4", alias_name="revenue_e4"),
-            Sum("target_e4", alias_name="target_revenue_e4"),
-        )
-    )
-    df = agg.to_pandas()
-    if df.empty:
+        post_join=bucket_finish,
+    ).to_pandas()
+    if partials.empty:
         return pd.DataFrame(
             {
                 "o_year": pd.Series(dtype="int64"),
@@ -2421,6 +2408,13 @@ def q8_market_share(sf_dir: str):
                 "mkt_share_ppm": pd.Series(dtype="int64"),
             }
         )
+    df = (
+        partials.groupby("o_year", sort=False, as_index=False)[
+            ["rev_e4", "target_e4"]
+        ]
+        .sum()
+        .rename(columns={"rev_e4": "revenue_e4", "target_e4": "target_revenue_e4"})
+    )
     df["o_year"] = df["o_year"].astype("int64")
     df["revenue_e4"] = df["revenue_e4"].astype("int64")
     df["target_revenue_e4"] = df["target_revenue_e4"].astype("int64")
