@@ -778,12 +778,21 @@ def minhash_candidate_pairs(
         return _cached_minhasher(hasher_args)(batch)
 
     bands = ds.map_batches(band_rows, batch_format="pyarrow", batch_size=1024)
+    return _pairs_from_band_rows(bands, num_buckets)
 
-    # group by a COARSE bucket of the band hash (not by (band, band_hash)
-    # itself — that cardinality is n_docs x n_bands, and a map_groups
-    # call per mostly-singleton group costs more than the hashing);
-    # inside each coarse bucket the per-bucket pair generation is one
-    # vectorized self-merge.
+
+def _pairs_from_band_rows(
+    bands: ray.data.Dataset, num_buckets: int
+) -> ray.data.Dataset:
+    """Dataset(doc_id, band, band_hash) -> Dataset(id_a, id_b) pairs
+    sharing any band bucket (multiset across coarse buckets).
+
+    Groups by a COARSE bucket of the band hash (not by (band, band_hash)
+    itself — that cardinality is n_docs x n_bands, and a map_groups
+    call per mostly-singleton group costs more than the hashing);
+    inside each coarse bucket the per-bucket pair generation is one
+    vectorized self-merge."""
+
     def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
         df["coarse"] = (df["band_hash"] % num_buckets).astype(np.int32)
         return df
@@ -920,9 +929,145 @@ def jaccard_verified_pairs(
     return both.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
+def _precision_pairs_broadcast(
+    derived: ray.data.Dataset, num_buckets: int
+) -> ray.data.Dataset:
+    """Small-corpus path of ``minhash_precision_pairs``: the derived
+    (doc_id, shingles, signature) table is pulled once, packed into
+    flat numpy arrays (sorted ids + fixed-width sig matrix + ragged
+    shingle values/offsets) and broadcast via ``ray.put``; candidate
+    edges then verify in plain ``map_batches`` with ZERO join
+    exchanges.
+
+    Global pair dedup without a dedup shuffle: pair generation carries
+    the generating band, and the verify stage keeps an edge only when
+    its band is the FIRST band where the two signatures' band hashes
+    agree — a pure function of the pair, so exactly one copy of every
+    candidate pair survives no matter how many band buckets produced
+    it (the multiset -> set step the join path does with
+    ``left_prepare unique``)."""
+    import pyarrow.compute as _pc
+
+    tb = pa.concat_tables(
+        list(derived.iter_batches(batch_format="pyarrow"))
+    ).combine_chunks()
+    ids = tb.column("doc_id").to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids_sorted = ids[order]
+    n = len(ids)
+    sig_mat = (
+        tb.column("sig").combine_chunks().flatten().to_numpy().reshape(n, ph.N_PERM)
+    )[order]
+    sh_col = tb.column("sh").combine_chunks()
+    lens = _pc.list_value_length(sh_col).to_numpy().astype(np.int64)
+    vals = sh_col.flatten().to_numpy()
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    new_lens = lens[order]
+    new_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=new_offs[1:])
+    # ragged gather: reorder the concatenated shingle values by doc order
+    gather = (
+        np.arange(new_offs[-1], dtype=np.int64)
+        - np.repeat(new_offs[:-1], new_lens)
+        + np.repeat(offs[:-1][order], new_lens)
+    )
+    vals_sorted = vals[gather]
+    state_ref = ray.put((ids_sorted, sig_mat, vals_sorted, new_offs))
+
+    def band_rows_from_sigs(t: pa.Table) -> pa.Table:
+        nn = t.num_rows
+        dids = t.column("doc_id").to_numpy()
+        sigs = (
+            t.column("sig")
+            .combine_chunks()
+            .flatten()
+            .to_numpy()
+            .reshape(nn, ph.N_PERM)
+            .view(np.uint64)
+        )
+        bh = ph.band_hashes(sigs, ph.N_BANDS)
+        return pa.table(
+            {
+                "doc_id": np.repeat(dids, ph.N_BANDS),
+                "band": np.tile(np.arange(ph.N_BANDS, dtype=np.int32), nn),
+                "band_hash": bh.reshape(-1).view(np.int64),
+            }
+        )
+
+    bands = derived.map_batches(band_rows_from_sigs, batch_format="pyarrow")
+
+    def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df["coarse"] = (df["band_hash"] % num_buckets).astype(np.int32)
+        return df
+
+    def bucket_pairs_with_band(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["band", "band_hash", "doc_id"]]
+        m = df.merge(df, on=["band", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = m.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})[
+            ["id_a", "id_b", "band"]
+        ]
+        # (id_a, id_b, band) lives in exactly one coarse bucket, so the
+        # in-bucket dedup is global at this granularity
+        return out.drop_duplicates()
+
+    edges = (
+        bands.map_batches(add_coarse, batch_format="pandas")
+        .groupby("coarse")
+        .map_groups(bucket_pairs_with_band, batch_format="pandas")
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        sids, smat, svals, soffs = ray.get(state_ref)
+        id_a = t.column("id_a").to_numpy()
+        id_b = t.column("id_b").to_numpy()
+        band = t.column("band").to_numpy()
+        pos_a = np.searchsorted(sids, id_a)
+        pos_b = np.searchsorted(sids, id_b)
+        bh_a = ph.band_hashes(smat[pos_a].view(np.uint64), ph.N_BANDS)
+        bh_b = ph.band_hashes(smat[pos_b].view(np.uint64), ph.N_BANDS)
+        first = np.argmax(bh_a == bh_b, axis=1)  # >=1 match by construction
+        keep = band == first
+        pos_a, pos_b = pos_a[keep], pos_b[keep]
+        kn = int(keep.sum())
+        est = (
+            (smat[pos_a] == smat[pos_b]).sum(axis=1).astype(np.int64) * 1_000_000
+        ) // ph.N_PERM
+        jacc = np.empty(kn, dtype=np.int64)
+        for i in range(kn):
+            a = svals[soffs[pos_a[i]] : soffs[pos_a[i] + 1]]
+            b = svals[soffs[pos_b[i]] : soffs[pos_b[i] + 1]]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            jacc[i] = (inter * 1_000_000) // union if union else 1_000_000
+        return pa.table(
+            {
+                "id_a": id_a[keep],
+                "id_b": id_b[keep],
+                "est_jacc_e6": est,
+                "jacc_e6": jacc,
+                "abs_err_e6": np.abs(est - jacc),
+            }
+        )
+
+    return edges.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
+PRECISION_BROADCAST_DOC_LIMIT = 100_000
+"""Below this many documents the derived (shingles + signature) table
+broadcasts via ``ray.put`` (~few hundred MB ceiling: one copy per node,
+zero-copy reads from the local object store) and the precision audit
+pays ONE all-to-all (pair generation) instead of three. Above it, the
+two co-partitioned ``hash_join`` passes attach each side — the path
+whose shuffle volume stays O(derived x 2 + edges) at any scale. Both
+paths are asserted value-identical in ``tests``."""
+
+
 def minhash_precision_pairs(
     ds: ray.data.Dataset,
     num_buckets: int = NUM_BUCKETS,
+    broadcast_doc_limit: int = PRECISION_BROADCAST_DOC_LIMIT,
 ) -> ray.data.Dataset:
     """Estimator-quality audit of the MinHash sketch itself: for every
     LSH candidate pair, the SIGNATURE-estimated Jaccard (matching
@@ -968,7 +1113,37 @@ def minhash_precision_pairs(
         )
 
     derived = ds.map_batches(derived_rows, batch_format="pyarrow").materialize()
-    edges = minhash_candidate_pairs(ds, num_buckets=num_buckets)
+    if derived.count() <= broadcast_doc_limit:
+        return _precision_pairs_broadcast(derived, num_buckets)
+
+    def band_rows_from_sigs(t: pa.Table) -> pa.Table:
+        # bands re-derived from the ALREADY-computed signatures (the
+        # shingle+minhash text pass runs once, not once per consumer);
+        # sig lists are fixed-width N_PERM so the values buffer
+        # reshapes zero-copy
+        n = t.num_rows
+        ids = t.column("doc_id").to_numpy()
+        sigs = (
+            t.column("sig")
+            .combine_chunks()
+            .flatten()
+            .to_numpy()
+            .reshape(n, ph.N_PERM)
+            .view(np.uint64)
+        )
+        bh = ph.band_hashes(sigs, ph.N_BANDS)
+        return pa.table(
+            {
+                "doc_id": np.repeat(ids, ph.N_BANDS),
+                "band": np.tile(np.arange(ph.N_BANDS, dtype=np.int32), n),
+                "band_hash": bh.reshape(-1).view(np.int64),
+            }
+        )
+
+    edges = _pairs_from_band_rows(
+        derived.map_batches(band_rows_from_sigs, batch_format="pyarrow"),
+        num_buckets=num_buckets,
+    )
 
     edge_schema = _pa.schema([("id_a", _pa.int64()), ("id_b", _pa.int64())])
     d_schema = _pa.schema(
@@ -1006,13 +1181,17 @@ def minhash_precision_pairs(
         id_b = t.column("id_b").to_numpy()
         sh_a = t.column("sh_a").to_pylist()
         sh_b = t.column("sh").to_pylist()
-        # signatures are fixed-width: one (n, 64) block comparison
-        sig_a = np.asarray(t.column("sig_a").to_pylist(), dtype=np.int64).reshape(
-            n, -1
-        ) if n else np.empty((0, ph.N_PERM), dtype=np.int64)
-        sig_b = np.asarray(t.column("sig").to_pylist(), dtype=np.int64).reshape(
-            n, -1
-        ) if n else np.empty((0, ph.N_PERM), dtype=np.int64)
+        # signatures are fixed-width: values-buffer reshape, then one
+        # (n, 64) block comparison
+        def _sig_block(col) -> np.ndarray:
+            if n == 0:
+                return np.empty((0, ph.N_PERM), dtype=np.int64)
+            return (
+                col.combine_chunks().flatten().to_numpy().reshape(n, ph.N_PERM)
+            )
+
+        sig_a = _sig_block(t.column("sig_a"))
+        sig_b = _sig_block(t.column("sig"))
         est = (
             (sig_a == sig_b).sum(axis=1).astype(np.int64) * 1_000_000
         ) // ph.N_PERM

@@ -1594,3 +1594,29 @@ def test_url_dedup_and_domain_stats_planted():
         got["dup_rate_e4"]
         == (want["n_docs"] - want["n_unique_urls"]) * 10000 // want["n_docs"]
     ).all()
+
+
+def test_minhash_precision_broadcast_matches_join_path():
+    """minhash_precision_pairs' size switch: the broadcast path (one
+    exchange, first-matching-band dedup) and the large-corpus path
+    (two co-partitioned hash_joins) must emit the identical pair set
+    with identical est/exact Jaccard columns."""
+    from neuscraper_ray.functions.dedup import minhash_precision_pairs
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _sorted(d):
+        return (
+            d.to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    bc = _sorted(minhash_precision_pairs(ds))  # default limit: broadcast
+    jn = _sorted(minhash_precision_pairs(ds, broadcast_doc_limit=0))
+    pd.testing.assert_frame_equal(bc, jn)
+    assert len(bc) > 0
+    # the audit must include genuinely-similar pairs, not just noise
+    assert (bc["jacc_e6"] > 500_000).any()
