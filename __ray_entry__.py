@@ -770,7 +770,8 @@ def oracle_sql() -> dict[str, str]:
             "sum(ch)::BIGINT AS n_chars, "
             "(sum(st)::BIGINT * 1000000 // sum(w)::BIGINT)::BIGINT "
             "AS fertility_ppm, "
-            "(sum(ch)::BIGINT * 1000000 // sum(st)::BIGINT)::BIGINT "
+            "(CASE WHEN sum(st) = 0 THEN 0 ELSE "
+            "sum(ch)::BIGINT * 1000000 // sum(st)::BIGINT END)::BIGINT "
             "AS chars_per_subtoken_ppm "
             "FROM c GROUP BY lang ORDER BY lang"
         ),

@@ -277,6 +277,60 @@ def line_dedup_stats(
     )
 
 
+def _linify_batch(
+    batch: pa.Table,
+    *,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    strip: str,
+    num_buckets: int,
+    source_col: str | None = None,
+) -> pa.Table:
+    """Shared line-extraction kernel under :func:`line_dedup_apply`
+    and :func:`boilerplate_lines_apply`: split each doc on ``sep``,
+    trim ``strip``, drop empties, derive an offsets-based in-doc line
+    index (no Python string loop), bucket real lines by LINE-text hash
+    (``hb``) and append one sentinel row per input doc so line-less
+    docs survive to reassembly. Sentinels are routed by a DOC-id hash
+    bucket — they never interact with the in-bucket line logic (both
+    consumers split on ``line_idx < 0``), and pinning them to one
+    bucket would make that bucket O(n_docs) hot at scale."""
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.functions.joins import _bucket_i64, str_buckets
+
+    lines = pc.split_pattern(batch.column(text_col), sep).combine_chunks()
+    offs = lines.offsets.to_numpy()
+    flat = lines.values
+    parents = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    line_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        offs[:-1].astype(np.int64), np.diff(offs)
+    )
+    trimmed = pc.utf8_trim(flat, strip)
+    keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+    ids = batch.column(id_col).to_numpy()
+    cols = {id_col: pa.array(ids[parents[keep]], pa.int64())}
+    if source_col is not None:
+        srcs = batch.column(source_col).to_numpy(zero_copy_only=False)
+        cols[source_col] = pa.array(srcs[parents[keep]], pa.string())
+    cols["line_idx"] = pa.array(line_idx[keep], pa.int64())
+    cols["line"] = trimmed.filter(pa.array(keep))
+    out = pa.table(cols)
+    hb = str_buckets(out.column("line"), num_buckets)
+    out = out.append_column("hb", pa.array(hb, pa.int32()))
+    n = len(batch)
+    scols = {id_col: batch.column(id_col)}
+    if source_col is not None:
+        scols[source_col] = pa.array([""] * n, pa.string())
+    scols["line_idx"] = pa.array(np.full(n, -1, dtype=np.int64))
+    scols["line"] = pa.array([""] * n, pa.string())
+    scols["hb"] = pa.array(
+        _bucket_i64(ids, num_buckets).astype(np.int32)
+    )
+    return pa.concat_tables([out, pa.table(scols)])
+
+
 def line_dedup_apply(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -309,40 +363,18 @@ def line_dedup_apply(
     output. No stage holds the corpus; the driver holds nothing.
     """
     import polars as pl
-    import pyarrow.compute as pc
 
-    from neuscraper_ray.functions.joins import _bucket_i64, str_buckets
+    from neuscraper_ray.functions.joins import _bucket_i64
 
     def linify(batch: pa.Table) -> pa.Table:
-        lines = pc.split_pattern(batch.column(text_col), sep).combine_chunks()
-        offs = lines.offsets.to_numpy()
-        flat = lines.values
-        parents = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
-        line_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
-            offs[:-1].astype(np.int64), np.diff(offs)
+        return _linify_batch(
+            batch,
+            id_col=id_col,
+            text_col=text_col,
+            sep=sep,
+            strip=strip,
+            num_buckets=num_buckets,
         )
-        trimmed = pc.utf8_trim(flat, strip)
-        keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
-        ids = batch.column(id_col).to_numpy()
-        out = pa.table(
-            {
-                id_col: pa.array(ids[parents[keep]], pa.int64()),
-                "line_idx": pa.array(line_idx[keep], pa.int64()),
-                "line": trimmed.filter(pa.array(keep)),
-            }
-        )
-        hb = str_buckets(out.column("line"), num_buckets)
-        out = out.append_column("hb", pa.array(hb, pa.int32()))
-        n = len(batch)
-        sentinel = pa.table(
-            {
-                id_col: batch.column(id_col),
-                "line_idx": pa.array(np.full(n, -1, dtype=np.int64)),
-                "line": pa.array([""] * n, pa.string()),
-                "hb": pa.array(np.zeros(n, dtype=np.int32)),
-            }
-        )
-        return pa.concat_tables([out, sentinel])
 
     def mark(df: pd.DataFrame) -> pd.DataFrame:
         sent = df[df["line_idx"] < 0].copy()
@@ -452,40 +484,21 @@ def boilerplate_lines_apply(
     driver-side.
     """
     import polars as pl
-    import pyarrow.compute as pc
 
-    from neuscraper_ray.functions.joins import _bucket_i64, str_buckets
+    from neuscraper_ray.functions.joins import _bucket_i64
 
     group_cols = ["line"] if source_col is None else [source_col, "line"]
 
     def linify(batch: pa.Table) -> pa.Table:
-        lines = pc.split_pattern(batch.column(text_col), "\n").combine_chunks()
-        offs = lines.offsets.to_numpy()
-        flat = lines.values
-        parents = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
-        line_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
-            offs[:-1].astype(np.int64), np.diff(offs)
+        return _linify_batch(
+            batch,
+            id_col=id_col,
+            text_col=text_col,
+            sep="\n",
+            strip=LINE_STRIP,
+            num_buckets=num_buckets,
+            source_col=source_col,
         )
-        trimmed = pc.utf8_trim(flat, LINE_STRIP)
-        keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
-        ids = batch.column(id_col).to_numpy()
-        cols = {id_col: pa.array(ids[parents[keep]], pa.int64())}
-        if source_col is not None:
-            srcs = batch.column(source_col).to_numpy(zero_copy_only=False)
-            cols[source_col] = pa.array(srcs[parents[keep]], pa.string())
-        cols["line_idx"] = pa.array(line_idx[keep], pa.int64())
-        cols["line"] = trimmed.filter(pa.array(keep))
-        out = pa.table(cols)
-        hb = str_buckets(out.column("line"), num_buckets)
-        out = out.append_column("hb", pa.array(hb, pa.int32()))
-        n = len(batch)
-        scols = {id_col: batch.column(id_col)}
-        if source_col is not None:
-            scols[source_col] = pa.array([""] * n, pa.string())
-        scols["line_idx"] = pa.array(np.full(n, -1, dtype=np.int64))
-        scols["line"] = pa.array([""] * n, pa.string())
-        scols["hb"] = pa.array(np.zeros(n, dtype=np.int32))
-        return pa.concat_tables([out, pa.table(scols)])
 
     def mark(df: pd.DataFrame) -> pd.DataFrame:
         pf = pl.from_pandas(df)
@@ -929,6 +942,34 @@ def jaccard_verified_pairs(
     return both.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
+def _band_rows_from_sigs(t: pa.Table) -> pa.Table:
+    """Dataset(doc_id, sh, sig) batch -> (doc_id, band, band_hash) rows.
+
+    Bands are re-derived from the ALREADY-computed signatures (the
+    shingle+minhash text pass runs once, not once per consumer); sig
+    lists are fixed-width N_PERM so the values buffer reshapes
+    zero-copy. Shared by the broadcast and join precision paths, which
+    tests assert value-identical."""
+    n = t.num_rows
+    ids = t.column("doc_id").to_numpy()
+    sigs = (
+        t.column("sig")
+        .combine_chunks()
+        .flatten()
+        .to_numpy()
+        .reshape(n, ph.N_PERM)
+        .view(np.uint64)
+    )
+    bh = ph.band_hashes(sigs, ph.N_BANDS)
+    return pa.table(
+        {
+            "doc_id": np.repeat(ids, ph.N_BANDS),
+            "band": np.tile(np.arange(ph.N_BANDS, dtype=np.int32), n),
+            "band_hash": bh.reshape(-1).view(np.int64),
+        }
+    )
+
+
 def _precision_pairs_broadcast(
     derived: ray.data.Dataset, num_buckets: int
 ) -> ray.data.Dataset:
@@ -975,27 +1016,7 @@ def _precision_pairs_broadcast(
     vals_sorted = vals[gather]
     state_ref = ray.put((ids_sorted, sig_mat, vals_sorted, new_offs))
 
-    def band_rows_from_sigs(t: pa.Table) -> pa.Table:
-        nn = t.num_rows
-        dids = t.column("doc_id").to_numpy()
-        sigs = (
-            t.column("sig")
-            .combine_chunks()
-            .flatten()
-            .to_numpy()
-            .reshape(nn, ph.N_PERM)
-            .view(np.uint64)
-        )
-        bh = ph.band_hashes(sigs, ph.N_BANDS)
-        return pa.table(
-            {
-                "doc_id": np.repeat(dids, ph.N_BANDS),
-                "band": np.tile(np.arange(ph.N_BANDS, dtype=np.int32), nn),
-                "band_hash": bh.reshape(-1).view(np.int64),
-            }
-        )
-
-    bands = derived.map_batches(band_rows_from_sigs, batch_format="pyarrow")
+    bands = derived.map_batches(_band_rows_from_sigs, batch_format="pyarrow")
 
     def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
         df["coarse"] = (df["band_hash"] % num_buckets).astype(np.int32)
@@ -1116,32 +1137,8 @@ def minhash_precision_pairs(
     if derived.count() <= broadcast_doc_limit:
         return _precision_pairs_broadcast(derived, num_buckets)
 
-    def band_rows_from_sigs(t: pa.Table) -> pa.Table:
-        # bands re-derived from the ALREADY-computed signatures (the
-        # shingle+minhash text pass runs once, not once per consumer);
-        # sig lists are fixed-width N_PERM so the values buffer
-        # reshapes zero-copy
-        n = t.num_rows
-        ids = t.column("doc_id").to_numpy()
-        sigs = (
-            t.column("sig")
-            .combine_chunks()
-            .flatten()
-            .to_numpy()
-            .reshape(n, ph.N_PERM)
-            .view(np.uint64)
-        )
-        bh = ph.band_hashes(sigs, ph.N_BANDS)
-        return pa.table(
-            {
-                "doc_id": np.repeat(ids, ph.N_BANDS),
-                "band": np.tile(np.arange(ph.N_BANDS, dtype=np.int32), n),
-                "band_hash": bh.reshape(-1).view(np.int64),
-            }
-        )
-
     edges = _pairs_from_band_rows(
-        derived.map_batches(band_rows_from_sigs, batch_format="pyarrow"),
+        derived.map_batches(_band_rows_from_sigs, batch_format="pyarrow"),
         num_buckets=num_buckets,
     )
 

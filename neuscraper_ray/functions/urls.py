@@ -180,10 +180,12 @@ score: strict fragments weigh 100, soft ones less; matches add up
 KEEP_BELOW_E2 = 100
 
 
-def url_filter_batch(t: pa.Table, block) -> pa.Table:
+def url_filter_batch(t: pa.Table, block: list) -> pa.Table:
     """Pure vectorized kernel under :func:`url_filter` (and the
-    curation-funnel composition): (doc_id, source) + a blocklist
-    collection -> (doc_id, url_norm, domain, blocked, score_e2, keep)."""
+    curation-funnel composition): (doc_id, source) + a PREPARED
+    blocklist (a list, sorted once at broadcast time — the production
+    list is millions of domains, so no per-batch sort/convert here) ->
+    (doc_id, url_norm, domain, blocked, score_e2, keep)."""
     import polars as pl
 
     pf = pl.from_arrow(t.select(["doc_id", "source"]))
@@ -203,7 +205,7 @@ def url_filter_batch(t: pa.Table, block) -> pa.Table:
             frag, literal=True
         ).cast(pl.Int64) * w
     pf = pf.with_columns(
-        pl.col("domain").is_in(sorted(block)).alias("blocked"),
+        pl.col("domain").is_in(block).alias("blocked"),
         score.alias("score_e2"),
     )
     pf = pf.with_columns(
@@ -236,7 +238,7 @@ def url_filter(ds: ray.data.Dataset) -> ray.data.Dataset:
     ``is_in`` inside the batch fn (the production list is millions of
     domains — per-batch reshipping would dominate). SQL twin
     :func:`sql_url_filter` is generated from the SAME constants."""
-    block_ref = ray.put(frozenset(BLOCK_DOMAINS))
+    block_ref = ray.put(sorted(set(BLOCK_DOMAINS)))
 
     def fn(t: pa.Table) -> pa.Table:
         return url_filter_batch(t, ray.get(block_ref))

@@ -85,9 +85,14 @@ def _pin_http_fs_probe() -> None:
     try:
         import fsspec.implementations.http  # noqa: F401
     except ImportError:
-        from ray.data.datasource import path_util
+        try:
+            from ray.data.datasource import path_util
 
-        path_util._is_http_filesystem = lambda fs: False
+            path_util._is_http_filesystem = lambda fs: False
+        except (ImportError, AttributeError):
+            # private Ray symbol moved (version skew): degrade to the
+            # unpinned behavior rather than failing job startup
+            pass
 
 
 def run_resumable(

@@ -841,7 +841,7 @@ def docs_curation_funnel(sf_dir: str):
     from neuscraper_ray.stages.heuristics import quality_filter_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    block_ref = ray.put(frozenset(BLOCK_DOMAINS))
+    block_ref = ray.put(sorted(set(BLOCK_DOMAINS)))
 
     def gate_flags(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         keep_u = (
@@ -4914,7 +4914,9 @@ def q19_disjunctive_revenue(sf_dir: str):
     brand_idx = {g[0]: i for i, g in enumerate(Q19_GROUPS)}
     sizes = np.array([g[1] for g in Q19_GROUPS], dtype=np.int64)
     part["grp"] = part["p_brand"].map(brand_idx).astype(np.int64)
-    part = part[part["p_size"].to_numpy() <= sizes[part["grp"].to_numpy()]]
+    ps = part["p_size"].to_numpy()
+    # BETWEEN 1 AND hi, matching the SQL twin's lower bound exactly
+    part = part[(ps >= 1) & (ps <= sizes[part["grp"].to_numpy()])]
     order = np.argsort(part["p_partkey"].to_numpy(), kind="stable")
     keys_ref = ray.put(part["p_partkey"].to_numpy()[order])
     grp_ref = ray.put(part["grp"].to_numpy()[order])
@@ -5170,8 +5172,13 @@ def docs_fertility_by_lang(sf_dir: str):
     out["fertility_ppm"] = (
         out["n_subtokens"] * 1_000_000 // out["n_words"]
     ).astype("int64")
-    out["chars_per_subtoken_ppm"] = (
-        out["n_chars"] * 1_000_000 // out["n_subtokens"]
+    st = out["n_subtokens"].to_numpy()
+    # a lang of pure-whitespace docs has 0 subtokens: define the ratio
+    # as 0 (the SQL twin carries the same CASE) instead of div-by-zero
+    out["chars_per_subtoken_ppm"] = np.where(
+        st > 0,
+        out["n_chars"].to_numpy() * 1_000_000 // np.maximum(st, 1),
+        0,
     ).astype("int64")
     return out[
         [
