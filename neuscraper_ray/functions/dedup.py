@@ -37,8 +37,6 @@ url); these operators extend that to corpus-level near-dup at scale.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -47,6 +45,7 @@ import ray.data
 
 from neuscraper_ray.config import NUM_BUCKETS
 from neuscraper_ray.functions import polyhash as ph
+from neuscraper_ray.functions.textstats import md5_hex
 
 # ---------------------------------------------------------------- exact
 
@@ -59,10 +58,7 @@ def exact_dedup(
     Output: ``(id_col, n_copies: int64)`` — the kept representative.
     """
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch.column(text_col).to_pylist()
-        ]
+        hs = md5_hex(batch.column(text_col).to_pylist())
         t = batch.select([id_col]).append_column("h", pa.array(hs, pa.string()))
         # shuffle key is a coarse bucket of the hash, not the hash
         # itself: one group per DISTINCT TEXT would pay per-group
@@ -105,10 +101,7 @@ def soft_dedup_weights(
     size (transform, not agg) instead of one representative."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch.column(text_col).to_pylist()
-        ]
+        hs = md5_hex(batch.column(text_col).to_pylist())
         t = batch.select([id_col]).append_column("h", pa.array(hs, pa.string()))
         hb = np.fromiter(
             (int(s[:4], 16) % NUM_BUCKETS for s in hs),
@@ -582,10 +575,7 @@ def snapshot_anti_dedup(
 
     def project(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            hs = [
-                hashlib.md5(t.encode("utf-8")).hexdigest()
-                for t in batch.column(text_col).to_pylist()
-            ]
+            hs = md5_hex(batch.column(text_col).to_pylist())
             hb = np.fromiter(
                 (int(s[:4], 16) % num_buckets for s in hs),
                 dtype=np.int32,

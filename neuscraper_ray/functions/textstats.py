@@ -21,12 +21,23 @@ def token_count_batch(batch: pa.Table, column: str = "text", out: str = "n_token
     return batch.append_column(out, pc.cast(n, pa.int64()))
 
 
+def md5_hex(texts: list, empty_as_blank: bool = False) -> list[str]:
+    """Lowercase-hex md5 of each utf-8 text — the ONE md5 kernel every
+    dedup/funnel/mark path shares (a per-row loop is unavoidable: no
+    vectorized md5 exists, and md5 is load-bearing for the DuckDB
+    ``md5()`` oracles). Two empty-text conventions exist on purpose:
+    the default hashes ``""`` like DuckDB ``md5('')``; the curate path
+    passes ``empty_as_blank=True`` because an empty extracted text
+    means "no content" and must never join a dedup group."""
+    md5 = hashlib.md5
+    if empty_as_blank:
+        return [md5(t.encode("utf-8")).hexdigest() if t else "" for t in texts]
+    return [md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
 def content_hash_batch(batch: pa.Table, column: str = "text", out: str = "content_hash") -> pa.Table:
     """Lowercase-hex md5 of the utf-8 text (DuckDB ``md5(text)``-equal)."""
-    hashes = [
-        hashlib.md5(t.encode("utf-8")).hexdigest()
-        for t in batch.column(column).to_pylist()
-    ]
+    hashes = md5_hex(batch.column(column).to_pylist())
     return batch.append_column(out, pa.array(hashes, pa.string()))
 
 

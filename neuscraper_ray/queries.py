@@ -833,8 +833,6 @@ def docs_curation_funnel(sf_dir: str):
     metadata-sized) are materialized once and reused for the tiny
     per-source totals groupby, the broadcast-rate mix gate, and the
     counts. Text never crosses an exchange."""
-    import hashlib
-
     from neuscraper_ray.functions.joins import str_buckets
     from neuscraper_ray.functions.polyhash import gate_ppm, int_fingerprints
     from neuscraper_ray.functions.urls import BLOCK_DOMAINS, url_filter_batch
@@ -881,8 +879,9 @@ def docs_curation_funnel(sf_dir: str):
         t2 = t.filter(pa.array(both))
         import pyarrow.compute as pc
 
-        texts = t2.column("text").to_pylist()
-        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        from neuscraper_ray.functions.textstats import md5_hex
+
+        hs = md5_hex(t2.column("text").to_pylist())
         n_tok = pc.add(pc.count_substring(t2.column("text"), " "), 1)
         return pa.table(
             {

@@ -39,8 +39,10 @@ import ray.data
 
 
 def _md5_hex(texts: list) -> list[str]:
-    md5 = hashlib.md5
-    return [md5(t.encode("utf-8")).hexdigest() if t else "" for t in texts]
+    # curate convention: empty extracted text -> "" (never a dedup key)
+    from neuscraper_ray.functions.textstats import md5_hex
+
+    return md5_hex(texts, empty_as_blank=True)
 
 
 def _hash_batch(batch: pa.Table, column: str) -> pa.Table:

@@ -67,13 +67,12 @@ def filters_fused_batch(
     df = scrub_batch(df)
     df = verdict_batch(df, ppl_threshold)
     if with_content_hash:
-        import hashlib
+        from neuscraper_ray.functions.textstats import md5_hex
 
-        md5 = hashlib.md5
-        df["content_hash"] = [
-            md5(t.encode("utf-8")).hexdigest() if t else ""
-            for t in df["extracted_text"].tolist()
-        ]
+        # curate convention: empty extraction -> "" (never a dedup key)
+        df["content_hash"] = md5_hex(
+            df["extracted_text"].tolist(), empty_as_blank=True
+        )
     return df
 
 
