@@ -152,6 +152,75 @@ def test_edge_case_events_match_oracle(name, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_edge_case_q19_out_of_range_size(tmp_path):
+    """q19's disjunctive predicate through the driver comparison on a
+    planted part table that includes a p_size BELOW the SQL twin's
+    BETWEEN-1 lower bound (the generator never emits one, which once
+    masked an engine path that only applied the upper bound), plus
+    size/quantity rows at and beyond every boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # (p_partkey, p_brand, p_size)
+    parts = [
+        (1, "Brand#1", 0),   # below BETWEEN 1 AND 10 — must NOT count
+        (2, "Brand#1", 5),   # in range
+        (3, "Brand#1", 10),  # upper boundary
+        (4, "Brand#3", 26),  # over Brand#3's max 25 — must NOT count
+        (5, "Brand#5", 40),  # Brand#5 upper boundary
+        (6, "Brand#2", 5),   # non-matching brand
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([p[0] for p in parts], pa.int64()),
+                "p_brand": pa.array([p[1] for p in parts]),
+                "p_size": pa.array([p[2] for p in parts], pa.int64()),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    # (l_partkey, l_quantity): boundary hits and misses per group
+    lines = [
+        (1, 5.0),   # size-0 part: excluded even with in-range qty
+        (2, 1.0),   # Brand#1 qty lower boundary — counts
+        (2, 15.0),  # Brand#1 qty upper boundary — counts
+        (2, 16.0),  # qty over — excluded
+        (3, 7.0),   # boundary size, in-range qty — counts
+        (4, 20.0),  # size over — excluded
+        (5, 50.0),  # Brand#5 both boundaries — counts
+        (5, 19.0),  # qty under Brand#5's 20 — excluded
+        (6, 5.0),   # wrong brand — excluded
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([r[0] for r in lines], pa.int64()),
+                "l_quantity": pa.array([r[1] for r in lines], pa.float64()),
+                "l_extendedprice": pa.array(
+                    [100.0 + i for i in range(len(lines))], pa.float64()
+                ),
+                "l_discount": pa.array([0.05] * len(lines), pa.float64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    c = duckdb.connect()
+    for t in ("part", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    name = "q19_disjunctive_revenue"
+    result = entry_mod.queries()[name](str(tmp_path))
+    if hasattr(result, "to_pandas"):
+        result = result.to_pandas()
+    expected = c.execute(entry_mod.oracle_sql()[name]).df()
+    got, want = _normalize(result), _normalize(expected)
+    assert int(want["n_lines"].iloc[0]) == 4  # the planted truth
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 EDGE_QUERIES = ["docs_chunk_dedup", "docs_vocab_stats", "docs_top_terms"]
 
 
