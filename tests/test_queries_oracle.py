@@ -221,6 +221,48 @@ def test_edge_case_q19_out_of_range_size(tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_edge_case_fertility_zero_subtokens(tmp_path):
+    """docs_fertility_by_lang on a language whose every document is
+    whitespace-only: sum(n_subtokens)=0, so chars_per_subtoken_ppm must
+    be the shared zero-guard's 0 on BOTH engines (DuckDB integer
+    division would otherwise error; numpy would silently emit 0 with a
+    warning)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "   \t ",            # zz: whitespace-only — 0 subtokens
+        " \t\t  ",           # zz: whitespace-only
+        "hello world one",   # en: normal doc
+    ]
+    langs = ["zz", "zz", "en"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs),
+            "source": pa.array(["edge"] * len(texts)),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    name = "docs_fertility_by_lang"
+    result = entry_mod.queries()[name](str(tmp_path))
+    if hasattr(result, "to_pandas"):
+        result = result.to_pandas()
+    expected = c.execute(entry_mod.oracle_sql()[name]).df()
+    got, want = _normalize(result), _normalize(expected)
+    zz = want[want["lang"] == "zz"]
+    assert int(zz["n_subtokens"].iloc[0]) == 0  # the planted degeneracy
+    assert int(zz["chars_per_subtoken_ppm"].iloc[0]) == 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 EDGE_QUERIES = ["docs_chunk_dedup", "docs_vocab_stats", "docs_top_terms"]
 
 
