@@ -480,7 +480,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH "
             + _urls.sql_url_norm_ctes("documents")
             + ", dom AS (SELECT doc_id, "
-            "regexp_extract(url_norm, '://([^/]*)', 1) AS domain FROM normed) "
+            "coalesce(regexp_extract(url_norm, '://([^/]*)', 1), '') "
+            "AS domain FROM normed) "
             "SELECT domain, doc_id, rn FROM ("
             "SELECT domain, doc_id, row_number() OVER (PARTITION BY domain "
             "ORDER BY (" + polyhash.sql_fingerprint("doc_id::VARCHAR") + "), "

@@ -1124,7 +1124,21 @@ def minhash_precision_pairs(
         )
 
     derived = ds.map_batches(derived_rows, batch_format="pyarrow").materialize()
-    if derived.count() <= broadcast_doc_limit:
+    n_docs = derived.count()
+    if n_docs == 0:
+        # the broadcast path would pa.concat_tables([]) on an empty
+        # derived table; an empty corpus has no candidate pairs
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in (
+                        "id_a", "id_b", "est_jacc_e6", "jacc_e6", "abs_err_e6"
+                    )
+                }
+            )
+        )
+    if n_docs <= broadcast_doc_limit:
         return _precision_pairs_broadcast(derived, num_buckets)
 
     edges = _pairs_from_band_rows(

@@ -340,6 +340,10 @@ def domain_cap(
             .select(
                 normalize_url_expr(pl.col("u"))
                 .str.extract(r"://([^/]*)", 1)
+                # unreachable with the current normalizer (always emits
+                # a scheme) but keeps str_buckets null-safe if URL
+                # derivation ever changes; oracle mirrors with coalesce
+                .fill_null("")
                 .alias("domain")
             )["domain"]
             .to_pandas()

@@ -2142,7 +2142,6 @@ def q7_volume_shipping(sf_dir: str):
 
     nation = _read(sf_dir, "nation", None).to_pandas()
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     name2key = dict(zip(nation["n_name"], nation["n_nationkey"].astype(int)))
     ka, kb = name2key[Q7_NATION_A], name2key[Q7_NATION_B]
     pair = {ka, kb}
@@ -2152,7 +2151,13 @@ def q7_volume_shipping(sf_dir: str):
         if int(n) in pair
     }
     key2name = {ka: Q7_NATION_A, kb: Q7_NATION_B}
-    cust_pair = cust[cust["c_nationkey"].isin(pair)]
+    # customer filtered AT THE READ (row-group predicate + distributed
+    # scan) so only the 2-of-25-nations slice ever reaches the driver
+    cust_pair = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(sorted(pair)),
+    ).to_pandas()
     cust_keys = np.sort(cust_pair["c_custkey"].to_numpy().astype(np.int64))
     order_ck = cust_pair.sort_values("c_custkey")
     cust_nats = order_ck["c_nationkey"].to_numpy().astype(np.int64)
@@ -2307,12 +2312,14 @@ def q8_market_share(sf_dir: str):
         supp.loc[supp["s_nationkey"] == target_key, "s_suppkey"].astype(int)
     )
     type_parts = set(part.loc[part["p_type"] == Q8_PART_TYPE, "p_partkey"].astype(int))
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    region_custs = np.sort(
-        cust.loc[cust["c_nationkey"].isin(region_nations), "c_custkey"]
-        .to_numpy()
-        .astype(np.int64)
-    )
+    # customer filtered AT THE READ — only the region's slice reaches
+    # the driver, never the full table
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pc.field("c_nationkey").isin(sorted(region_nations)),
+    ).to_pandas()
+    region_custs = np.sort(cust["c_custkey"].to_numpy().astype(np.int64))
     dims_ref = ray.put((region_custs, target_supps, type_parts))
 
     orders = ray.data.read_parquet(

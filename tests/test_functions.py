@@ -1620,3 +1620,21 @@ def test_minhash_precision_broadcast_matches_join_path():
     assert len(bc) > 0
     # the audit must include genuinely-similar pairs, not just noise
     assert (bc["jacc_e6"] > 500_000).any()
+
+
+def test_minhash_precision_empty_input():
+    """Empty corpus: neither size-switch arm may crash — the broadcast
+    arm used to pa.concat_tables([]) on zero batches. Must return an
+    empty table with the full 5-column schema."""
+    from neuscraper_ray.functions.dedup import minhash_precision_pairs
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+    )
+    out = minhash_precision_pairs(empty)
+    assert out.schema().names == [
+        "id_a", "id_b", "est_jacc_e6", "jacc_e6", "abs_err_e6",
+    ]
+    assert out.count() == 0
