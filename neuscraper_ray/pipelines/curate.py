@@ -50,8 +50,17 @@ class CurateConfig:
     # a separate actor pool — the right shape when the node model needs
     # per-worker state (GPU weights); batch granularity is then node rows
     mark_duplicates: bool = False     # append dup_of (exact-dup canonical
-    # url); materializes the curated docs (not the input) for the
-    # two-pass hash projection — see stages.dedup_mark
+    # url); checkpoints the curated docs to parquet (never pins the
+    # whole dataset in the object store) for the two-pass hash
+    # projection — see stages.dedup_mark and dedup_checkpoint_dir
+    emit_content_hash: bool = False   # emit the md5 content_hash column
+    # without marking (the runner's two-phase mark feed: partitions are
+    # curated+committed independently, then one corpus-wide mark pass
+    # resolves duplicate groups that span partitions)
+    dedup_checkpoint_dir: str | None = None  # parquet checkpoint for
+    # mark_duplicates (must be empty/nonexistent); None -> fresh
+    # tempdir under /tmp. The files double as a resume point: they ARE
+    # the curated corpus, dup marking is a cheap re-read.
 
 
 def extract_nodes(pages: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray.data.Dataset:
@@ -149,14 +158,38 @@ def curate(pages: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray.data
         nodes = extract_nodes(pages, cfg)
         preds = score_nodes(nodes, cfg)
         docs = assemble_pages(preds, cfg)
-    out = filter_chain(docs, cfg, with_content_hash=cfg.mark_duplicates)
+    out = filter_chain(
+        docs, cfg, with_content_hash=cfg.mark_duplicates or cfg.emit_content_hash
+    )
     if cfg.mark_duplicates:
+        import os
+        import tempfile
+
         from neuscraper_ray.stages.dedup_mark import mark_duplicates
 
-        # curated docs are a small fraction of the input bytes; pin them
-        # so the hash projection doesn't re-run the whole upstream DAG.
-        # content_hash was computed IN the filter pass above, so the
-        # projection is a column select and the mark a vectorized map —
-        # the corpus is md5-hashed exactly once end to end.
-        out = mark_duplicates(out.materialize(), hash_col="content_hash")
+        # Dup marking needs two passes over the curated docs (hash
+        # projection, then the mark). Instead of pinning the whole
+        # dataset in the object store (the old .materialize()), STREAM
+        # it to a parquet checkpoint: the object store only ever holds
+        # in-flight blocks, the canonical projection re-reads ONLY the
+        # (content_hash, url) columns (column-pruned parquet scan; text
+        # bytes never move for pass 1), and the mark pass streams the
+        # files back through. content_hash was computed IN the filter
+        # pass above, so the corpus is md5-hashed exactly once end to
+        # end. The checkpoint doubles as a resume point at 100-TB scale
+        # — it IS the curated corpus on disk.
+        ckpt = cfg.dedup_checkpoint_dir
+        if ckpt is None:
+            ckpt = tempfile.mkdtemp(prefix="curate_dedup_ckpt_")
+        elif os.path.isdir(ckpt) and os.listdir(ckpt):
+            raise ValueError(
+                f"dedup_checkpoint_dir {ckpt!r} is not empty; stale files "
+                "would pollute the dup-marking re-read"
+            )
+        out.write_parquet(ckpt)
+        out = mark_duplicates(
+            ray.data.read_parquet(ckpt),
+            hash_col="content_hash",
+            proj=ray.data.read_parquet(ckpt, columns=["content_hash", "url"]),
+        )
     return out

@@ -140,6 +140,112 @@ def run_resumable(
     return agg
 
 
+def _committed_partitions(out_dir: str) -> list[tuple[str, list[str]]]:
+    """(partition name, sorted parquet files) for every committed
+    partition in a runner output dir."""
+    parts = []
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if (
+            name.startswith("part-")
+            and not name.endswith(".tmp")
+            and os.path.isdir(p)
+            and os.path.exists(os.path.join(p, "_MANIFEST.json"))
+        ):
+            files = sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+            )
+            parts.append((name, files))
+    return parts
+
+
+def run_mark_phase(
+    curated_dir: str,
+    marked_dir: str,
+    broadcast_limit: int | None = None,
+) -> dict:
+    """Corpus-wide exact-duplicate mark over a COMMITTED runner output
+    (phase 2 of ``--mark-duplicates``).
+
+    Partitions are curated and committed independently, so duplicate
+    groups that SPAN partitions can only be resolved by a pass that
+    sees the whole corpus. The canonical index is built from a
+    column-pruned ``(content_hash, url)`` read across ALL partitions
+    (16-byte hashes + urls move; document text never does for pass 1),
+    broadcast once via ``ray.put``, and each partition is then re-read,
+    marked with a zero-shuffle vectorized map, and committed into
+    ``marked_dir`` under the SAME manifest protocol — already-marked
+    partitions are skipped on resume, so a crash mid-mark re-does at
+    most one partition. Requires partitions curated with
+    ``CurateConfig(emit_content_hash=True)``.
+
+    If the dup-group index outgrows ``broadcast_limit`` the phase falls
+    back to ONE corpus-wide content-hash-bucketed mark pipeline
+    (``stages.dedup_mark`` group-mark shuffle) committed as a single
+    partition — the honest all-to-all cost when the dup index itself is
+    cluster-sized; per-partition resume granularity is lost for that
+    run and the manifest records the fallback.
+    """
+    from neuscraper_ray.stages.dedup_mark import (
+        BROADCAST_CANON_LIMIT,
+        canonical_dups,
+        mark_duplicates,
+        mark_with_canon,
+    )
+
+    if broadcast_limit is None:
+        broadcast_limit = BROADCAST_CANON_LIMIT
+    os.makedirs(marked_dir, exist_ok=True)
+    gc_incomplete(marked_dir)
+    parts = _committed_partitions(curated_dir)
+    if not parts:
+        raise ValueError(f"no committed partitions under {curated_dir!r}")
+    all_files = [f for _, files in parts for f in files]
+    proj = ray.data.read_parquet(all_files, columns=["content_hash", "url"])
+    canon_ds = canonical_dups(proj, hash_col="content_hash").materialize()
+    n_groups = canon_ds.count()
+
+    if n_groups > broadcast_limit:
+        plan = PartitionPlan(0, all_files)
+        if not is_complete(marked_dir, plan):
+            tmp = os.path.join(marked_dir, plan.name + ".tmp")
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            docs = ray.data.read_parquet(all_files)
+            mark_duplicates(
+                docs, hash_col="content_hash", broadcast_limit=broadcast_limit
+            ).write_parquet(tmp)
+            metrics = _partition_metrics(tmp)
+            metrics["mark_mode"] = "bucketed_fallback"
+            metrics["n_dup_groups"] = int(n_groups)
+            commit_partition(marked_dir, plan, tmp, metrics)
+        return {"partitions_marked": 1, "n_dup_groups": int(n_groups)}
+
+    canon = dict(
+        zip(*(canon_ds.to_pandas()[c] for c in ("content_hash", "canonical_url")))
+    )
+    canon_ref = ray.put(canon)
+    marked = 0
+    for i, (name, files) in enumerate(parts):
+        plan = PartitionPlan(i, files)
+        assert plan.name == name, (plan.name, name)
+        if is_complete(marked_dir, plan):
+            continue
+        tmp = os.path.join(marked_dir, name + ".tmp")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        mark_with_canon(
+            ray.data.read_parquet(files), canon_ref, hash_col="content_hash"
+        ).write_parquet(tmp)
+        metrics = _partition_metrics(tmp)
+        metrics["n_dup_groups"] = int(n_groups)
+        commit_partition(marked_dir, plan, tmp, metrics)
+        marked += 1
+    return {"partitions_marked": marked, "n_dup_groups": int(n_groups)}
+
+
 def main() -> None:
     import argparse
     import json
@@ -164,6 +270,19 @@ def main() -> None:
         help="partitions run concurrently (hides the per-partition "
         "pipeline ramp behind the previous partition's drain); 1 = "
         "strictly sequential",
+    )
+    p.add_argument(
+        "--mark-duplicates",
+        action="store_true",
+        help="two-phase corpus-wide exact-dup marking: partitions are "
+        "curated with content_hash, then one global mark pass commits "
+        "dup_of-marked copies under --marked-output (resumable per "
+        "partition in both phases)",
+    )
+    p.add_argument(
+        "--marked-output",
+        default=None,
+        help="output dir for the marked copies (default: <output>-marked)",
     )
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args()
@@ -197,12 +316,17 @@ def main() -> None:
 
     paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
     t0 = time.perf_counter()
+    cfg = CurateConfig(emit_content_hash=args.mark_duplicates)
     agg = run_resumable(
         paths,
         args.output,
+        cfg=cfg,
         files_per_partition=args.files_per_partition,
         overlap=args.overlap,
     )
+    if args.mark_duplicates:
+        marked_dir = args.marked_output or (args.output.rstrip("/") + "-marked")
+        agg.update(run_mark_phase(args.output, marked_dir))
     wall = time.perf_counter() - t0
     agg["wall_sec"] = round(wall, 2)
     if agg.get("n_docs") and wall > 0 and agg.get("partitions_run"):

@@ -116,18 +116,44 @@ def build_canonical_map(
 BROADCAST_CANON_LIMIT = 1_000_000
 
 
+def mark_with_canon(
+    docs: ray.data.Dataset, canon_ref, hash_col: str = "content_hash"
+) -> ray.data.Dataset:
+    """Mark ``dup_of`` against an already-broadcast canonical map
+    (``ray.put({content_hash: canonical_url})``) — zero shuffle, one
+    vectorized map per batch. Shared by the single-pipeline broadcast
+    path and the runner's corpus-wide phase-2 mark."""
+
+    def mark(t: pa.Table) -> pa.Table:
+        # arrow in/out: only the two string columns are pulled into
+        # pandas for the dict map — list-typed columns (quality_flags)
+        # stay zero-copy and survive the parquet round-trip
+        cmap = ray.get(canon_ref)
+        h = t.column(hash_col).to_pandas()
+        u = t.column("url").to_pandas()
+        c = h.map(cmap).fillna("")
+        dup = c.where((c != u) & (h != ""), "")
+        return t.append_column("dup_of", pa.array(dup.tolist(), pa.string()))
+
+    return docs.map_batches(mark, batch_format="pyarrow", batch_size=None)
+
+
 def mark_duplicates(
     docs: ray.data.Dataset,
     column: str = "extracted_text",
     broadcast_limit: int = BROADCAST_CANON_LIMIT,
     hash_col: str | None = None,
+    proj: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Append ``dup_of``: canonical url for non-canonical exact dups,
     "" otherwise. Two passes over ``docs`` (it is re-executed for the
-    projection; pass a materialized/checkpointed dataset when upstream
-    is expensive). With ``hash_col`` both passes reuse the precomputed
+    projection; pass a checkpointed dataset when upstream is
+    expensive). With ``hash_col`` both passes reuse the precomputed
     hashes: the projection is a column select and the mark is a
-    vectorized map — zero md5 work here.
+    vectorized map — zero md5 work here. ``proj`` overrides the
+    projection-pass source — pass a column-pruned parquet read of the
+    same rows (the curate pipeline's dedup checkpoint) so pass 1 never
+    deserializes text bytes at all.
 
     Size switch: at or below ``broadcast_limit`` duplicate groups the
     canonical map ships once via ``ray.put`` and every batch marks
@@ -136,7 +162,9 @@ def mark_duplicates(
     bucket marks its groups locally (min-url canonical) — the honest
     all-to-all cost when the dup index itself is cluster-sized, with
     no index built at all."""
-    canon_ds = canonical_dups(docs, column, hash_col=hash_col).materialize()
+    canon_ds = canonical_dups(
+        proj if proj is not None else docs, column, hash_col=hash_col
+    ).materialize()
     if canon_ds.count() <= broadcast_limit:
         canon = dict(
             zip(*(canon_ds.to_pandas()[c] for c in ("content_hash", "canonical_url")))
@@ -144,14 +172,7 @@ def mark_duplicates(
         canon_ref = ray.put(canon)
 
         if hash_col is not None:
-
-            def mark(df: pd.DataFrame) -> pd.DataFrame:
-                cmap = ray.get(canon_ref)
-                c = df[hash_col].map(cmap).fillna("")
-                df["dup_of"] = c.where((c != df["url"]) & (df[hash_col] != ""), "")
-                return df
-
-            return docs.map_batches(mark, batch_format="pandas", batch_size=None)
+            return mark_with_canon(docs, canon_ref, hash_col=hash_col)
 
         def mark_arrow(batch: pa.Table) -> pa.Table:
             cmap = ray.get(canon_ref)
@@ -173,30 +194,37 @@ def mark_duplicates(
     out_cols = list(docs.schema().names) + ["dup_of"]
     effective_hash = hash_col or "content_hash"
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+    def add_hash(t: pa.Table) -> pa.Table:
+        # arrow in/out: only string columns are touched, so list-typed
+        # columns survive (and stay zero-copy) through the shuffle
         from neuscraper_ray.functions.joins import str_buckets
 
         if hash_col is None:
-            df["content_hash"] = _md5_hex(df[column].tolist())
-        df["hbucket"] = str_buckets(df[effective_hash].tolist(), NUM_BUCKETS)
-        return df
+            t = t.append_column(
+                "content_hash",
+                pa.array(_md5_hex(t.column(column).to_pylist()), pa.string()),
+            )
+        hb = str_buckets(t.column(effective_hash).to_pylist(), NUM_BUCKETS)
+        return t.append_column("hbucket", pa.array(hb, pa.int32()))
 
-    def mark_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def mark_bucket(t: pa.Table) -> pa.Table:
         # every member of a content-hash group lands in this bucket, so
         # canonical (min url) and membership are decidable locally
-        dup_of = pd.Series("", index=df.index, dtype=object)
-        ne = df[df[effective_hash] != ""]
-        if len(ne):
-            g = ne.groupby(effective_hash, sort=False)["url"]
+        h = t.column(effective_hash).to_pandas()
+        u = t.column("url").to_pandas()
+        dup_of = pd.Series("", index=h.index, dtype=object)
+        ne_mask = h != ""
+        if ne_mask.any():
+            g = u[ne_mask].groupby(h[ne_mask], sort=False)
             cmin = g.transform("min")
             csize = g.transform("size")
-            hit = (csize > 1) & (ne["url"] != cmin)
-            dup_of.loc[ne.index[hit]] = cmin[hit]
-        df["dup_of"] = dup_of
-        return df[out_cols]
+            hit = (csize > 1) & (u[ne_mask] != cmin)
+            dup_of.loc[cmin.index[hit]] = cmin[hit]
+        t = t.append_column("dup_of", pa.array(dup_of.tolist(), pa.string()))
+        return t.select(out_cols)
 
     return (
-        docs.map_batches(add_hash, batch_format="pandas", batch_size=None)
+        docs.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
         .groupby("hbucket")
-        .map_groups(mark_bucket, batch_format="pandas")
+        .map_groups(mark_bucket, batch_format="pyarrow")
     )

@@ -92,3 +92,58 @@ def test_manifest_lineage_and_metrics(pages_dir, tmp_path):
     agg = aggregate_metrics(out)
     assert agg["n_docs"] == N_PAGES
     assert agg["n_kept"] == sum(m["metrics"]["n_kept"] for m in ms)
+
+
+def test_mark_phase_matches_single_pipeline(pages_dir, tmp_path):
+    """Two-phase runner marking (curate partitions with content_hash,
+    then one corpus-wide mark pass) must produce the IDENTICAL per-url
+    dup_of as the single-pipeline curate(mark_duplicates=True) path —
+    duplicate groups planted by the synth corpus span partitions, so
+    this exercises the cross-partition canonical exchange."""
+    import glob
+
+    import ray.data
+
+    from neuscraper_ray.pipelines.curate import curate
+    from neuscraper_ray.pipelines.runner import run_mark_phase
+
+    paths = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    curated = str(tmp_path / "curated")
+    marked = str(tmp_path / "marked")
+    cfg = CurateConfig(num_buckets=8, emit_content_hash=True)
+    run_resumable(paths, curated, cfg, files_per_partition=2)
+    agg = run_mark_phase(curated, marked)
+    assert agg["partitions_marked"] == 3
+    got = (
+        duckdb.sql(
+            f"SELECT url, dup_of FROM read_parquet('{marked}/part-*/[!_]*.parquet') ORDER BY url"
+        )
+        .fetchdf()
+    )
+    want = (
+        curate(
+            ray.data.read_parquet(paths),
+            CurateConfig(num_buckets=8, mark_duplicates=True),
+        )
+        .to_pandas()[["url", "dup_of"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["dup_of"].tolist() == want["dup_of"].tolist()
+    assert (got["dup_of"] != "").sum() > 0  # corpus plants duplicates
+
+    # resume: a second mark run skips every committed marked partition
+    agg2 = run_mark_phase(curated, marked)
+    assert agg2["partitions_marked"] == 0
+
+    # bucketed fallback (dup index "too big" to broadcast): same dup_of
+    marked_fb = str(tmp_path / "marked_fb")
+    run_mark_phase(curated, marked_fb, broadcast_limit=0)
+    fb = (
+        duckdb.sql(
+            f"SELECT url, dup_of FROM read_parquet('{marked_fb}/part-*/[!_]*.parquet') ORDER BY url"
+        )
+        .fetchdf()
+    )
+    assert fb["dup_of"].tolist() == want["dup_of"].tolist()
