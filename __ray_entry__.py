@@ -231,6 +231,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN uc uy ON pc.y = uy.term WHERE pc.n_xy >= 5 "
             "ORDER BY score DESC, x ASC, y ASC LIMIT 20"
         ),
+        "docs_exactsubstr_dedup": polyhash.sql_exactsubstr_dedup(
+            "documents", k=20
+        ),
         "docs_chunk_dedup": (
             "WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, "
             "'[ \\t\\n\\x0b\\x0c\\r]+'), w -> w != '') AS ws FROM documents), "

@@ -688,6 +688,250 @@ def ngram_coverage_stats(
     )
 
 
+# ----------------------------------------------------------- exactsubstr
+
+EXACTSUBSTR_K = 50
+"""Lee et al. 2022 (arXiv:2107.06499) dedup 50-token repeated spans;
+the registered query uses a smaller k so the operator fires on the
+short-doc test corpus."""
+
+EXACTSUBSTR_BROADCAST_MARK_LIMIT = 2_000_000
+"""At or below this many duplicate window occurrences the mark table
+ships once via ``ray.put`` (two int64 columns — ~32 MB at the limit)
+and removal is a zero-shuffle vectorized map. Above it, marks and docs
+co-partition on a coarse doc-id bucket instead — the honest exchange
+when a corpus is so self-repetitive the mark table itself is
+cluster-sized (Lee et al. report ~3% of C4 tokens in duplicate spans,
+so at 100 TB the fallback is the expected path). Both paths are
+asserted value-identical in tests."""
+
+
+def _rolling_window_hashes(
+    dw: "ph.DocWords", k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc_index, win_idx within doc, window hash) for every
+    k-token window fully inside one document. Window hash = fold
+    init 0, ``h*BASE_S + word_hash`` mod M over the k BASE_W1 word
+    hashes — exactly the oracle's ``list_reduce`` in
+    ``polyhash.sql_exactsubstr_dedup``. k vectorized passes, no
+    per-window Python."""
+    h = dw.h1
+    if len(h) < k:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    valid = np.nonzero(dw.word_doc[: len(h) - k + 1] == dw.word_doc[k - 1 :])[0]
+    s = np.zeros(len(valid), dtype=np.uint64)
+    bs = np.uint64(ph.BASE_S)
+    for j in range(k):
+        s = ph._red(ph.mulmod(s, bs) + h[valid + j])
+    win_doc = dw.word_doc[valid]
+    win_idx = valid - dw.wstart[win_doc]
+    return win_doc, win_idx.astype(np.int64), s.astype(np.int64)
+
+
+def _apply_span_removal(
+    ids: np.ndarray,
+    texts: list[str],
+    mark_doc: np.ndarray,
+    mark_win: np.ndarray,
+    k: int,
+) -> pa.Table:
+    """Remove every token covered by a duplicate-window mark and
+    reassemble -> (doc_id, n_tokens, n_removed, text_dedup) for every
+    input doc. ``mark_doc`` must be sorted (ties on win order don't
+    matter); all-numpy: coverage is a +1/-1 diff array over the
+    batch-flattened token axis (every window sits inside one doc, so
+    one flat cumsum never leaks across doc boundaries)."""
+    import polars as pl
+
+    n = len(ids)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+                "text_dedup": pa.array([], pa.string()),
+            }
+        )
+    ws = (
+        pl.Series("t", texts, dtype=pl.String)
+        .str.extract_all(r"[^ \t\n\x0b\x0c\r]+")
+        .to_arrow()
+    )
+    ws = ws.combine_chunks() if isinstance(ws, pa.ChunkedArray) else ws
+    offs = ws.offsets.to_numpy().astype(np.int64)
+    vals = ws.values
+    if offs[0] != 0:  # sliced list array: rebase the flat view
+        vals = vals.slice(offs[0])
+        offs = offs - offs[0]
+    lens = np.diff(offs)
+    total = int(offs[-1])
+    # gather this batch's marks: searchsorted ranges per doc, then one
+    # ragged gather — no per-doc Python
+    lo = np.searchsorted(mark_doc, ids)
+    hi = np.searchsorted(mark_doc, ids, side="right")
+    cnt = hi - lo
+    tm = int(cnt.sum())
+    removed = np.zeros(total, dtype=bool)
+    if tm:
+        cum = np.cumsum(cnt)
+        gather = np.arange(tm, dtype=np.int64) - np.repeat(cum - cnt, cnt) + np.repeat(
+            lo, cnt
+        )
+        starts = offs[np.repeat(np.arange(n), cnt)] + mark_win[gather]
+        dif = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(dif, starts, 1)
+        np.add.at(dif, starts + k, -1)
+        removed = np.cumsum(dif[:total]) > 0
+    parents = np.repeat(np.arange(n), lens)
+    n_removed = np.bincount(parents[removed], minlength=n)
+    kept = pl.DataFrame(
+        {
+            "i": parents[~removed],
+            "w": pl.from_arrow(vals.filter(pa.array(~removed))),
+        }
+    )
+    joined = kept.group_by("i", maintain_order=True).agg(
+        pl.col("w").str.join(" ").alias("text_dedup")
+    )
+    out = (
+        pl.DataFrame({"i": np.arange(n), "doc_id": ids})
+        .join(joined, on="i", how="left")
+        .with_columns(pl.col("text_dedup").fill_null(""))
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_removed": pa.array(n_removed.astype(np.int64), pa.int64()),
+            "text_dedup": out["text_dedup"].to_arrow().cast(pa.string()),
+        }
+    )
+
+
+def exactsubstr_dedup(
+    ds: ray.data.Dataset,
+    k: int = EXACTSUBSTR_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = NUM_BUCKETS,
+    broadcast_mark_limit: int = EXACTSUBSTR_BROADCAST_MARK_LIMIT,
+) -> ray.data.Dataset:
+    """ExactSubstr-style deduplication (Lee et al. 2022,
+    arXiv:2107.06499) at whitespace-token granularity: every k-token
+    span whose token sequence already occurred earlier in the corpus
+    (earlier = lexicographically smaller (doc_id, win_idx) — first
+    occurrence wins, deterministic under any partitioning) has its
+    tokens REMOVED from the text; surviving tokens reassemble in
+    order. -> (doc_id, n_tokens, n_removed, text_dedup) for every doc.
+
+    The reference paper builds a corpus-wide suffix array; the
+    distributed shape here replaces it with a rolling polynomial hash
+    over OVERLAPPING k-token windows (one int64 row per token — text
+    never multiplies by k) bucketed by window hash, so the
+    first-occurrence scan is in-bucket and globally correct at hash
+    granularity. Dedup identity IS the 61-bit window hash (collisions
+    ~2^-61 per pair); the DuckDB oracle computes the identical hash,
+    so both engines agree bit-for-bit even on a collision.
+
+    Scale shape: ONE keyed exchange of (doc_id, win_idx, wh) rows on a
+    coarse window-hash bucket; the mark table (dup occurrences only)
+    then either broadcasts (``ray.put``, zero further shuffle) or —
+    above ``broadcast_mark_limit`` — co-partitions with the docs on a
+    coarse doc-id bucket (second keyed exchange; text moves once). No
+    stage holds the corpus; the driver holds at most the mark count.
+    """
+    from neuscraper_ray.functions.joins import _bucket_i64
+
+    def windowize(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        dw = ph.DocWords(t.column(text_col).to_pylist())
+        win_doc, win_idx, wh = _rolling_window_hashes(dw, k)
+        return pa.table(
+            {
+                id_col: pa.array(ids[win_doc], pa.int64()),
+                "win_idx": pa.array(win_idx, pa.int64()),
+                "wh": pa.array(wh, pa.int64()),
+                "hb": pa.array(_bucket_i64(wh, num_buckets), pa.int32()),
+            }
+        )
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["wh", id_col, "win_idx"], kind="mergesort")
+        dup = df[df["wh"].duplicated().to_numpy()]
+        return dup[[id_col, "win_idx"]]
+
+    marks = (
+        ds.map_batches(windowize, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(mark, batch_format="pandas")
+        .materialize()
+    )
+    n_marks = marks.count()
+
+    if n_marks <= broadcast_mark_limit:
+        if n_marks == 0:
+            mark_doc = np.empty(0, dtype=np.int64)
+            mark_win = np.empty(0, dtype=np.int64)
+        else:
+            mpd = marks.to_pandas().sort_values(id_col, kind="mergesort")
+            mark_doc = mpd[id_col].to_numpy().astype(np.int64)
+            mark_win = mpd["win_idx"].to_numpy().astype(np.int64)
+        marks_ref = ray.put((mark_doc, mark_win))
+
+        def apply_broadcast(t: pa.Table) -> pa.Table:
+            md, mw = ray.get(marks_ref)
+            ids = t.column(id_col).to_numpy().astype(np.int64)
+            return _apply_span_removal(
+                ids, t.column(text_col).to_pylist(), md, mw, k
+            )
+
+        return ds.map_batches(apply_broadcast, batch_format="pyarrow")
+
+    # bucketed fallback: neither side broadcasts. Marks ride as
+    # sentinel rows (win_idx >= 0, empty text); docs carry win_idx -1.
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "win_idx": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "text": t.column(text_col).cast(pa.string()),
+                "db": pa.array(_bucket_i64(ids, num_buckets), pa.int32()),
+            }
+        )
+
+    def mark_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "win_idx": t.column("win_idx").cast(pa.int64()),
+                "text": pa.array([""] * len(ids), pa.string()),
+                "db": pa.array(_bucket_i64(ids, num_buckets), pa.int32()),
+            }
+        )
+
+    def apply_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        is_doc = df["win_idx"].to_numpy() < 0
+        docs = df[is_doc]
+        mk = df[~is_doc].sort_values([id_col, "win_idx"], kind="mergesort")
+        out = _apply_span_removal(
+            docs[id_col].to_numpy().astype(np.int64),
+            docs["text"].tolist(),
+            mk[id_col].to_numpy().astype(np.int64),
+            mk["win_idx"].to_numpy().astype(np.int64),
+            k,
+        )
+        return out.to_pandas()
+
+    both = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        marks.map_batches(mark_rows, batch_format="pyarrow")
+    )
+    return both.groupby("db").map_groups(apply_bucket, batch_format="pandas")
+
+
 # ------------------------------------------------------------- minhash
 
 

@@ -1512,6 +1512,24 @@ def docs_chunk_dedup(sf_dir: str, chunk_words: int = 10):
     )
 
 
+def docs_exactsubstr_dedup(sf_dir: str, k: int = 20):
+    """ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499): remove
+    every k-token span whose token sequence already occurred earlier
+    in the corpus (first occurrence by (doc_id, win_idx) keeps its
+    tokens) and reassemble -> (doc_id, n_tokens, n_removed,
+    text_dedup) for every doc. k=20 here (not the paper's 50) so the
+    operator fires on the short-doc test corpus; semantics are
+    k-independent. The distributed shape — rolling-hash windows, one
+    window-hash-bucketed exchange, broadcast-or-bucketed mark apply —
+    is documented on :func:`neuscraper_ray.functions.dedup.
+    exactsubstr_dedup`; the DuckDB twin
+    (``polyhash.sql_exactsubstr_dedup``) computes the identical
+    window hashes, so both engines agree bit-for-bit."""
+    from neuscraper_ray.functions.dedup import exactsubstr_dedup
+
+    return exactsubstr_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), k=k)
+
+
 def docs_lm_buckets(sf_dir: str):
     """CCNet-style LM quality bucketing (Wenzek et al. 2020,
     arXiv:1911.00359), with the pretrained KenLM replaced by a
@@ -5804,6 +5822,7 @@ ALL_QUERIES = {
     "docs_bigram_pmi": docs_bigram_pmi,
     "docs_bigram_lm_score": docs_bigram_lm_score,
     "docs_chunk_dedup": docs_chunk_dedup,
+    "docs_exactsubstr_dedup": docs_exactsubstr_dedup,
     "events_type_agg": events_type_agg,
     "events_hourly": events_hourly,
     "events_user_sessions": events_user_sessions,

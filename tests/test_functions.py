@@ -1638,3 +1638,44 @@ def test_minhash_precision_empty_input():
         "id_a", "id_b", "est_jacc_e6", "jacc_e6", "abs_err_e6",
     ]
     assert out.count() == 0
+
+
+def test_exactsubstr_broadcast_matches_bucketed_fallback():
+    """exactsubstr_dedup's size switch: the broadcast-mark path and the
+    doc-bucketed co-partition fallback must emit identical
+    (n_tokens, n_removed, text_dedup) per doc; the test corpus plants
+    real duplicate spans so removal actually fires."""
+    from neuscraper_ray.functions.dedup import exactsubstr_dedup
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _sorted(d):
+        return d.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    bc = _sorted(exactsubstr_dedup(ds, k=20))
+    fb = _sorted(exactsubstr_dedup(ds, k=20, broadcast_mark_limit=0))
+    pd.testing.assert_frame_equal(bc, fb)
+    assert len(bc) == 500
+    assert bc["n_removed"].sum() > 0
+    # removal is span-granular: a doc that lost tokens keeps the rest
+    hit = bc[(bc["n_removed"] > 0) & (bc["n_removed"] < bc["n_tokens"])]
+    assert len(hit) > 0
+    # first-occurrence-wins: at least one doc keeps every token even
+    # though the corpus contains duplicated spans
+    assert (bc["n_removed"] == 0).any()
+
+
+def test_exactsubstr_no_duplicates_is_identity():
+    """A corpus with no repeated k-token span must pass through
+    unchanged (text_dedup == whitespace-normalized text)."""
+    from neuscraper_ray.functions.dedup import exactsubstr_dedup
+
+    texts = [f"unique token {i} " + " ".join(f"w{i}_{j}" for j in range(8)) for i in range(20)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(20), pa.int64()), "text": pa.array(texts)})
+    )
+    out = exactsubstr_dedup(ds, k=5).to_pandas().sort_values("doc_id")
+    assert (out["n_removed"] == 0).all()
+    assert out["text_dedup"].tolist() == [" ".join(t.split()) for t in texts]
