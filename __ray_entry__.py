@@ -389,6 +389,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM newd n
             WHERE NOT EXISTS (SELECT 1 FROM oldh o WHERE o.h = n.h)
         """,
+        "docs_incremental_near_dedup": polyhash.sql_snapshot_near_anti(
+            "documents"
+        ),
         "docs_line_dedup_apply": """
             WITH ls AS (
               SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents

@@ -609,6 +609,176 @@ def snapshot_anti_dedup(
     return both.groupby("hb").map_groups(anti, batch_format="pandas")
 
 
+def snapshot_near_anti_dedup(
+    ds_new: ray.data.Dataset,
+    ds_old: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_col: str = "source",
+    threshold_e6: int = 500_000,
+    num_buckets: int = NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Incremental (snapshot-over-snapshot) NEAR-dup dedup: keep only
+    the rows of ``ds_new`` that are not MinHash-LSH-candidate +
+    exact-Jaccard-verified (>= ``threshold_e6``) near-duplicates of ANY
+    ``ds_old`` doc — the companion to :func:`snapshot_anti_dedup`
+    (exact hashes) for the "this month's crawl re-renders last month's
+    pages with a new footer" case. -> ``(id_col, keep_col)`` of the
+    surviving new docs. Ids must be unique across both sides.
+
+    Scale shape: BOTH snapshots may be corpus-sized, so neither side
+    broadcasts anywhere. Each side reduces to a derived (id, shingles,
+    signature) table in one vectorized pass (text never moves again);
+    band rows from both sides co-partition on a coarse band-hash
+    bucket and the in-bucket merge emits only NEW x OLD candidate
+    pairs (never new x new — the old snapshot is purely an anti-join
+    side). Two co-partitioned ``hash_join`` passes attach each side's
+    shingles (global pair dedup rides the first join's in-bucket
+    ``unique``), exact Jaccard verifies vectorized per edge batch, and
+    the final anti-join co-partitions hits with the new docs on a
+    coarse id bucket. Semantics (and fixed-point e6) are reproduced
+    exactly by ``polyhash.sql_snapshot_near_anti``."""
+    import pyarrow as _pa
+
+    from neuscraper_ray.functions.joins import _bucket_i64, hash_join
+
+    a_par, b_par = ph.minhash_params()
+
+    def derived_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        texts = t.column(text_col).to_pylist()
+        dw = ph.DocWords(texts)
+        sh32, sdoc = ph.doc_shingles32(dw)
+        sigs = ph.minhash_sigs(sh32, sdoc, len(texts), a_par, b_par)
+        bounds = np.searchsorted(sdoc, np.arange(len(texts) + 1))
+        lists = [
+            sh32[bounds[i] : bounds[i + 1]].astype(np.int64).tolist()
+            for i in range(len(texts))
+        ]
+        return pa.table(
+            {
+                "doc_id": ids.astype(np.int64),
+                "sh": _pa.array(lists, _pa.list_(_pa.int64())),
+                "sig": _pa.array(
+                    sigs.astype(np.int64).tolist(), _pa.list_(_pa.int64())
+                ),
+            }
+        )
+
+    derived_new = ds_new.map_batches(derived_rows, batch_format="pyarrow").materialize()
+    derived_old = ds_old.map_batches(derived_rows, batch_format="pyarrow").materialize()
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+
+        return fn
+
+    bands = (
+        derived_new.map_batches(_band_rows_from_sigs, batch_format="pyarrow")
+        .map_batches(tag(1), batch_format="pyarrow", batch_size=None)
+        .union(
+            derived_old.map_batches(_band_rows_from_sigs, batch_format="pyarrow")
+            .map_batches(tag(0), batch_format="pyarrow", batch_size=None)
+        )
+    )
+
+    def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df["coarse"] = (df["band_hash"] % num_buckets).astype(np.int32)
+        return df
+
+    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        new = df.loc[df["side"] == 1, ["band", "band_hash", "doc_id"]]
+        old = df.loc[df["side"] == 0, ["band", "band_hash", "doc_id"]]
+        m = new.merge(old, on=["band", "band_hash"], suffixes=("_n", "_o"))
+        out = m.rename(columns={"doc_id_n": "id_n", "doc_id_o": "id_o"})[
+            ["id_n", "id_o"]
+        ]
+        return out.drop_duplicates()
+
+    edges = (
+        bands.map_batches(add_coarse, batch_format="pandas")
+        .groupby("coarse")
+        .map_groups(cross_pairs, batch_format="pandas")
+    )
+
+    shingles = derived_new.select_columns(["doc_id", "sh"]).union(
+        derived_old.select_columns(["doc_id", "sh"])
+    )
+    edge_schema = _pa.schema([("id_n", _pa.int64()), ("id_o", _pa.int64())])
+    sh_schema = _pa.schema([("doc_id", _pa.int64()), ("sh", _pa.list_(_pa.int64()))])
+    with_n = hash_join(
+        edges, shingles, "id_n", "doc_id", edge_schema, sh_schema,
+        num_buckets=num_buckets,
+        left_prepare=lambda lf: lf.unique(subset=["id_n", "id_o"]),
+    ).map_batches(
+        lambda t: t.rename_columns(["id_n", "id_o", "sh_n"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    wn_schema = _pa.schema(
+        [("id_n", _pa.int64()), ("id_o", _pa.int64()), ("sh_n", _pa.list_(_pa.int64()))]
+    )
+    both = hash_join(
+        with_n, shingles, "id_o", "doc_id", wn_schema, sh_schema,
+        num_buckets=num_buckets,
+    )
+
+    def hits(t: pa.Table) -> pa.Table:
+        id_n = t.column("id_n").to_numpy()
+        sh_n = t.column("sh_n").to_pylist()
+        sh_o = t.column("sh").to_pylist()
+        out = []
+        for i in range(t.num_rows):
+            a = np.asarray(sh_n[i], dtype=np.int64)
+            b = np.asarray(sh_o[i], dtype=np.int64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            j = (inter * 1_000_000) // union if union else 1_000_000
+            if j >= threshold_e6:
+                out.append(id_n[i])
+        return pa.table({"hit_id": np.asarray(out, dtype=np.int64)})
+
+    hit_ids = both.map_batches(hits, batch_format="pyarrow", batch_size=None)
+
+    # anti-join: hits co-partition with the new docs on a coarse id
+    # bucket — the hit list may itself be corpus-sized, so it is never
+    # pulled to the driver or broadcast
+    def new_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                keep_col: t.column(keep_col).cast(pa.string()),
+                "isdoc": pa.array(np.ones(len(ids), dtype=np.int8)),
+                "db": pa.array(_bucket_i64(ids, num_buckets), pa.int32()),
+            }
+        )
+
+    def hit_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("hit_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                keep_col: pa.array([""] * len(ids), pa.string()),
+                "isdoc": pa.array(np.zeros(len(ids), dtype=np.int8)),
+                "db": pa.array(_bucket_i64(ids, num_buckets), pa.int32()),
+            }
+        )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        new = df[df["isdoc"] == 1]
+        bad = df.loc[df["isdoc"] == 0, id_col]
+        return new.loc[~new[id_col].isin(bad), [id_col, keep_col]]
+
+    combined = ds_new.map_batches(new_rows, batch_format="pyarrow").union(
+        hit_ids.map_batches(hit_rows, batch_format="pyarrow")
+    )
+    return combined.groupby("db").map_groups(anti, batch_format="pandas")
+
+
 def ngram_coverage_stats(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

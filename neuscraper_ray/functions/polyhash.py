@@ -712,3 +712,48 @@ SELECT h.doc_id, h.n AS n_tokens,
 FROM hw h LEFT JOIN marked m ON h.doc_id = m.doc_id
 GROUP BY h.doc_id, h.n
 """
+
+
+def sql_snapshot_near_anti(
+    table: str = "documents", threshold_e6: int = 500_000
+) -> str:
+    """Full DuckDB statement: snapshot-incremental NEAR-dup anti-join
+    -> (doc_id, source) of new-crawl docs (odd-numbered sources) that
+    are not LSH-candidate + exact-Jaccard-verified (>= threshold_e6)
+    near-duplicates of any prior-snapshot doc (even-numbered sources).
+    Value-identical to ``dedup.snapshot_near_anti_dedup`` (same
+    shingles, signatures, band folds, fixed-point e6)."""
+    return f"""
+WITH {sql_shingle_ctes(table)},
+{sql_bandsig_ctes()},
+par AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS BIGINT) % 2 AS p
+  FROM {table}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bandsig a JOIN par n ON a.doc_id = n.doc_id AND n.p = 1
+  JOIN bandsig b ON a.band = b.band AND a.bh = b.bh
+  JOIN par o ON b.doc_id = o.doc_id AND o.p = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY doc_id),
+inter AS (
+  SELECT c.u, c.v, count(*) AS i
+  FROM cand c JOIN shu sa ON sa.doc_id = c.u
+  JOIN shu sb ON sb.doc_id = c.v AND sa.s32 = sb.s32
+  GROUP BY c.u, c.v
+),
+hits AS (
+  SELECT DISTINCT u FROM (
+    SELECT c.u,
+      ((coalesce(i.i, 0) * 1000000) // (na.n + nb.n - coalesce(i.i, 0)))::BIGINT AS jacc_e6
+    FROM cand c
+    JOIN sizes na ON na.doc_id = c.u
+    JOIN sizes nb ON nb.doc_id = c.v
+    LEFT JOIN inter i ON i.u = c.u AND i.v = c.v
+  ) WHERE jacc_e6 >= {threshold_e6}
+)
+SELECT n.doc_id, n.source FROM par n
+WHERE n.p = 1 AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.u = n.doc_id)
+"""

@@ -283,6 +283,27 @@ def docs_incremental_dedup(sf_dir: str):
     return snapshot_anti_dedup(new, old)
 
 
+def docs_incremental_near_dedup(sf_dir: str):
+    """Snapshot-over-snapshot NEAR-dup dedup: keep the new crawl's
+    docs (odd-numbered sources) that are not MinHash-LSH-candidate +
+    exact-Jaccard-verified (>= 0.5) near-duplicates of ANY
+    prior-snapshot doc (even-numbered sources) — what
+    docs_incremental_dedup does for exact copies, extended to the
+    re-rendered/near-identical-page case a rolling crawl hits every
+    cycle. Neither snapshot is broadcast anywhere; band buckets of the
+    old snapshot form the anti-join side (see functions/dedup.py:
+    snapshot_near_anti_dedup for the exchange-by-exchange shape)."""
+    from neuscraper_ray.functions.dedup import snapshot_near_anti_dedup
+
+    new = _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        _snapshot_parity_filter(1), batch_format="pyarrow"
+    )
+    old = _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        _snapshot_parity_filter(0), batch_format="pyarrow"
+    )
+    return snapshot_near_anti_dedup(new, old)
+
+
 def docs_quality_model(sf_dir: str):
     """Learned quality classifier (fastText-style hashed-ngram model,
     GPT-3/LLaMA recipe) DISTILLED from the Gopher/C4 rule filter:
@@ -5781,6 +5802,7 @@ ALL_QUERIES = {
     "docs_bpe_merges": docs_bpe_merges,
     "docs_bpe_tokenize": docs_bpe_tokenize,
     "docs_incremental_dedup": docs_incremental_dedup,
+    "docs_incremental_near_dedup": docs_incremental_near_dedup,
     "docs_url_dedup": docs_url_dedup,
     "docs_domain_cap": docs_domain_cap,
     "docs_domain_stats": docs_domain_stats,

@@ -1679,3 +1679,28 @@ def test_exactsubstr_no_duplicates_is_identity():
     out = exactsubstr_dedup(ds, k=5).to_pandas().sort_values("doc_id")
     assert (out["n_removed"] == 0).all()
     assert out["text_dedup"].tolist() == [" ".join(t.split()) for t in texts]
+
+
+def test_snapshot_near_anti_dedup_drops_near_dups():
+    """snapshot_near_anti_dedup must drop every new-crawl doc whose
+    verified Jaccard vs some old-snapshot doc clears the threshold —
+    a strict superset of the exact-hash anti-join's drops on a corpus
+    that plants both exact and near duplicates."""
+    from neuscraper_ray.functions.dedup import (
+        snapshot_anti_dedup,
+        snapshot_near_anti_dedup,
+    )
+    from neuscraper_ray.queries import _snapshot_parity_filter
+
+    full = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    new = full.map_batches(_snapshot_parity_filter(1), batch_format="pyarrow")
+    old = full.map_batches(_snapshot_parity_filter(0), batch_format="pyarrow")
+    near = snapshot_near_anti_dedup(new, old).to_pandas()
+    exact = snapshot_anti_dedup(new, old).to_pandas()
+    n_new = new.count()
+    assert len(near) < n_new  # near-dup hits exist in the corpus
+    # every doc dropped by the exact pass is also dropped by the near
+    # pass (identical text => jaccard 1.0)
+    assert set(near["doc_id"]) <= set(exact["doc_id"])
