@@ -1280,7 +1280,121 @@ def docs_bigram_pmi(sf_dir: str):
     return cand.head(k).reset_index(drop=True)
 
 
-def docs_bigram_lm_score(sf_dir: str):
+def _bigram_lm_score_sharded(ds, model_ds):
+    """Web-vocab arm of ``docs_bigram_lm_score``: the trained model is
+    never collected or broadcast. Model rows re-key on a vectorized
+    x-term bucket; corpus (doc_id, x, y) pair rows (plus one sentinel
+    per doc so 0-pair docs survive) shuffle to the SAME buckets — x is
+    the conditioning term for both the unigram denominator and the
+    bigram numerator, so one bucket co-locates everything a pair
+    needs; scoring joins run vectorized in-bucket; per-doc partial
+    (count, sum) rows then fold on a coarse doc-id bucket. Two keyed
+    exchanges, both coarse, text never moves past the tokenize."""
+    import polars as pl
+
+    from neuscraper_ray.functions.joins import _bucket_i64, str_buckets
+
+    def model_rows(t: pa.Table) -> pa.Table:
+        xb = str_buckets(t.column("x"), NUM_BUCKETS)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "x": t.column("x").cast(pa.string()),
+                "y": t.column("y").cast(pa.string()),
+                "n_xy": t.column("n_xy").cast(pa.int64()),
+                "xb": pa.array(xb, pa.int32()),
+            }
+        )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        pf = pl.from_arrow(t.select(["doc_id", "text"]))
+        ex = (
+            pf.select(
+                "doc_id",
+                pl.col("text").str.extract_all(r"[^ \t\n\x0b\x0c\r]+").alias("w"),
+            )
+            .explode("w", empty_as_null=True)
+            .drop_nulls("w")
+            .with_columns(pl.col("w").str.to_lowercase())
+        )
+        pairs = (
+            ex.with_columns(pl.col("w").shift(-1).over("doc_id").alias("y"))
+            .drop_nulls("y")
+            .rename({"w": "x"})
+            .select(["doc_id", "x", "y"])
+        )
+        out = pairs.to_arrow().cast(
+            pa.schema(
+                [("doc_id", pa.int64()), ("x", pa.string()), ("y", pa.string())]
+            )
+        )
+        xb = str_buckets(out.column("x"), NUM_BUCKETS)
+        out = out.append_column(
+            "n_xy", pa.array(np.full(out.num_rows, -1, dtype=np.int64))
+        ).append_column("xb", pa.array(xb, pa.int32()))
+        n = t.num_rows
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        sent = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "x": pa.array([""] * n, pa.string()),
+                "y": pa.array([""] * n, pa.string()),
+                "n_xy": pa.array(np.full(n, -2, dtype=np.int64)),
+                "xb": pa.array(_bucket_i64(ids, NUM_BUCKETS), pa.int32()),
+            }
+        )
+        return pa.concat_tables([out, sent])
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        model = df[df["doc_id"] < 0]
+        uni = model.loc[model["y"] == "", ["x", "n_xy"]].rename(
+            columns={"n_xy": "n_x"}
+        )
+        bg = model[model["y"] != ""][["x", "y", "n_xy"]]
+        pr = df[(df["doc_id"] >= 0) & (df["n_xy"] == -1)][["doc_id", "x", "y"]]
+        j = pr.merge(bg, on=["x", "y"]).merge(uni, on="x")
+        j["cond"] = (j["n_xy"].to_numpy() * 1_000_000) // j["n_x"].to_numpy()
+        part = j.groupby("doc_id", sort=False, as_index=False).agg(
+            npair=("cond", "size"), s=("cond", "sum")
+        )
+        sent = df.loc[df["n_xy"] == -2, ["doc_id"]].assign(npair=0, s=0)
+        out = pd.concat([part, sent], ignore_index=True)
+        out["db"] = _bucket_i64(out["doc_id"].to_numpy(), NUM_BUCKETS)
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False, as_index=False).agg(
+            n_pairs=("npair", "sum"), s=("s", "sum")
+        )
+        npv = g["n_pairs"].to_numpy()
+        g["lm_ppm"] = np.where(npv > 0, g["s"].to_numpy() // np.maximum(npv, 1), 0)
+        return g[["doc_id", "n_pairs", "lm_ppm"]]
+
+    both = ds.map_batches(pair_rows, batch_format="pyarrow").union(
+        model_ds.map_batches(model_rows, batch_format="pyarrow")
+    )
+    return (
+        both.groupby("xb")
+        .map_groups(score_bucket, batch_format="pandas")
+        .groupby("db")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+LM_BROADCAST_VOCAB_LIMIT = 5_000_000
+"""At or below this many (x, y, n_xy) model rows the trained LM table
+ships once via ``ray.put`` (~200 MB ceiling: one copy per node) and
+scoring is a zero-shuffle vectorized join per batch. Above it — web-
+scale bigram vocab is billions of rows, multi-GB per worker if
+broadcast — the model is never collected: model rows and corpus
+(doc, x, y) pair rows co-partition on the SAME vectorized x-term
+bucket, score in-bucket, and per-doc partial sums fold on a coarse
+doc-id bucket. Both paths are asserted value-identical in tests."""
+
+
+def docs_bigram_lm_score(
+    sf_dir: str, broadcast_vocab_limit: int = LM_BROADCAST_VOCAB_LIMIT
+):
     """KenLM-style n-gram LM scoring of each document (the CCNet /
     north-star perplexity gate, one order up from the unigram LM in
     ``docs_lm_buckets``): train a bigram LM on the corpus itself, then
@@ -1298,16 +1412,20 @@ def docs_bigram_lm_score(sf_dir: str):
     emits BOTH unigram partials (as ``y=""`` rows; a token is a
     non-empty non-whitespace run, so the empty ``y`` is an unambiguous
     unigram tag) and bigram partials into the same (x, y, n_xy) table,
-    shuffled on a vectorized (x,y) bucket, merged in-bucket, collected
-    ONCE as the model table, split driver-side and broadcast (at
-    web-scale bigram vocab you'd shard both broadcasts by the same
-    term bucket and score bucket-aligned, as documented in
-    docs_lm_buckets); pass 2 = one vectorized polars join per batch,
-    zero shuffle. The unigram slice is count-identical to
-    ``_term_counts(lower=True)`` (same explode, same group; the oracle
-    conformance test pins the resulting ``n_x`` values end-to-end).
-    int64-safe while n_xy < 9.2e12 (the SQL twin uses HUGEINT
-    throughout)."""
+    shuffled on a vectorized (x,y) bucket and merged in-bucket. Below
+    ``broadcast_vocab_limit`` model rows the table is collected once,
+    split driver-side and broadcast; pass 2 is then one vectorized
+    polars join per batch, zero shuffle. ABOVE the limit the model
+    stays distributed: model rows re-key on an x-term bucket, corpus
+    pair rows shuffle to the same buckets (x is the conditioning term
+    for both the unigram and bigram lookup, so one bucket co-locates
+    everything a pair needs), scoring joins run in-bucket, and per-doc
+    partials fold on a coarse doc-id bucket — the honest two-exchange
+    cost when the LM itself is cluster-sized. The unigram slice is
+    count-identical to ``_term_counts(lower=True)`` (same explode,
+    same group; the oracle conformance test pins the resulting ``n_x``
+    values end-to-end). int64-safe while n_xy < 9.2e12 (the SQL twin
+    uses HUGEINT throughout)."""
     import polars as pl
 
     from neuscraper_ray.functions.joins import str_buckets
@@ -1362,12 +1480,16 @@ def docs_bigram_lm_score(sf_dir: str):
     def counts_merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["x", "y"], sort=False, as_index=False)["n_xy"].sum()
 
-    model = (
+    model_ds = (
         ds.map_batches(counts_partial, batch_format="pyarrow")
         .groupby("hb")
         .map_groups(counts_merge, batch_format="pandas")
-        .to_pandas()  # the LM model table (uni + bigram vocab), collected once
+        .materialize()
     )
+    if model_ds.count() > broadcast_vocab_limit:
+        return _bigram_lm_score_sharded(ds, model_ds)
+
+    model = model_ds.to_pandas()  # LM table (uni + bigram), collected once
     is_uni = (model["y"] == "").to_numpy()
     uni_ref = ray.put(
         pl.DataFrame(
@@ -1562,8 +1684,10 @@ def docs_lm_buckets(sf_dir: str):
 
     Scale shape: (1) vocab built with the combiner + crc32-term-bucket
     merge (the top_terms machinery, no top-k) and broadcast via
-    ray.put — at 10^9-term web vocab you'd shard the broadcast by the
-    same term bucket; (2) one vectorized polars join per batch scores
+    ray.put — at 10^9-term web vocab the broadcast swaps for the
+    term-bucket co-partition arm IMPLEMENTED in
+    ``_bigram_lm_score_sharded`` (same topology, one order down);
+    (2) one vectorized polars join per batch scores
     docs; (3) tertiles read off a bounded (value, count) histogram;
     (4) one broadcast-threshold label pass. Scores are materialized
     once (2 int columns) and reused for both the histogram and the

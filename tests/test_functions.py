@@ -1704,3 +1704,24 @@ def test_snapshot_near_anti_dedup_drops_near_dups():
     # every doc dropped by the exact pass is also dropped by the near
     # pass (identical text => jaccard 1.0)
     assert set(near["doc_id"]) <= set(exact["doc_id"])
+
+
+def test_bigram_lm_sharded_matches_broadcast():
+    """docs_bigram_lm_score's size switch: the broadcast-model path and
+    the web-vocab sharded path (model co-partitioned with pair rows on
+    an x-term bucket, per-doc partials folded on a doc bucket) must
+    emit identical (doc_id, n_pairs, lm_ppm)."""
+    from neuscraper_ray.queries import docs_bigram_lm_score
+
+    def _sorted(d):
+        return (
+            d.to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype({"n_pairs": "int64", "lm_ppm": "int64"})
+        )
+
+    bc = _sorted(docs_bigram_lm_score(SF_DIR))
+    sh = _sorted(docs_bigram_lm_score(SF_DIR, broadcast_vocab_limit=0))
+    pd.testing.assert_frame_equal(bc, sh)
+    assert len(bc) == 500 and (bc["n_pairs"] > 0).any()
