@@ -2056,12 +2056,13 @@ def events_asof_join(sf_dir: str):
 
 def media_features(sf_dir: str):
     """Multimodal decode: a deterministic synthetic media table
-    (binary payload + typed metadata struct, sized to the sf scale)
-    through the actor-pool image decoder -> per-item feature vectors.
-    Rows-only: the codec itself is the documented deterministic stub
-    (no image libraries in this environment); the Ray-side contract —
-    schema, small batches for wide binary rows, per-actor decode
-    state — is the real, tested surface."""
+    (binary payload + typed metadata struct, sized to the sf scale;
+    every 3rd payload is a REAL stdlib-encoded PNG cycling all five
+    scanline filters, the rest the FIMG fixture format) through the
+    actor-pool image decoder -> per-item feature vectors. The PNG path
+    is a real pure-stdlib codec (zlib IDAT inflate + per-scanline
+    unfilter, ``functions/multimodal.decode_png``); rows-only because
+    DuckDB has no image functions to twin it with."""
     import pyarrow.parquet as _pq
 
     from neuscraper_ray.functions.multimodal import decode_images, gen_media_table

@@ -1725,3 +1725,59 @@ def test_bigram_lm_sharded_matches_broadcast():
     sh = _sorted(docs_bigram_lm_score(SF_DIR, broadcast_vocab_limit=0))
     pd.testing.assert_frame_equal(bc, sh)
     assert len(bc) == 500 and (bc["n_pairs"] > 0).any()
+
+
+from neuscraper_ray.functions.multimodal import encode_png as _encode_png
+
+
+def test_png_decode_all_filters_and_color_types():
+    """decode_png must invert every scanline filter (0-4) for every
+    supported color type (grey, grey+alpha, RGB, RGBA)."""
+    from neuscraper_ray.functions.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    for c in (1, 2, 3, 4):
+        raster = rng.randint(0, 256, size=(13, 9, c), dtype=np.uint8)
+        for ft in range(5):
+            got = decode_png(_encode_png(raster, ft))
+            assert got.shape == raster.shape, (c, ft)
+            assert (got == raster).all(), (c, ft)
+
+
+def test_png_decode_rejects_unsupported():
+    from neuscraper_ray.functions.multimodal import PNG_SIG, decode_png
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_png(b"nope")
+    with pytest.raises(ValueError):
+        decode_png(PNG_SIG + b"\x00\x00\x00\x00IEND")  # no IHDR/IDAT
+
+
+def test_decode_images_stage_with_real_png():
+    """The actor stage decodes REAL PNG bytes (stdlib decoder), keeps
+    FIMG fixtures working, and flags undecodable payloads."""
+    rng = np.random.RandomState(3)
+    raster = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    png = _encode_png(raster, 4)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "kind": pa.array(["image"] * 3, pa.string()),
+            "payload": pa.array(
+                [png, fake_image(8, 8, 3, seed=1), b"\xff\xd8\xff\xe0 jpeg"],
+                pa.large_binary(),
+            ),
+        }
+    )
+    out = (
+        decode_images(ray.data.from_arrow(tbl), concurrency=2, batch_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["decode_ok"].tolist() == [True, True, False]
+    # the PNG's features are the real histogram of the real raster
+    dec = ImageDecoder()
+    want = dec._features(raster)
+    assert np.allclose(np.asarray(out["features"].iloc[0]), want)
