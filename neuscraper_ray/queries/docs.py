@@ -2123,7 +2123,11 @@ def docs_token_budget_mix(sf_dir: str):
     Scale shape (NO per-source group ever materializes — a source is
     5 TB at the target scale): pass 1 reduces the corpus to a
     (source, keep, n_words, id-range-bucket) COUNT histogram via
-    combiner partials + one tiny keyed merge; the driver orders the
+    combiner partials + one tiny keyed merge — the histogram itself
+    stays DISTRIBUTED; the driver pulls only the rb-collapsed
+    (source, keep, n_words) rollup (so its frame never carries the
+    64x range-bucket factor) and later the <=1-per-source partial
+    groups' rb rows. The driver orders the
     per-(source, keep, n_words) groups, cumsums group token totals,
     and classifies each group FULL / NONE / PARTIAL — at most ONE
     partial group per source (cum is monotone, so after the first
@@ -2186,15 +2190,30 @@ def token_budget_mix(
             ["source", "keep", "nw", "rb"], sort=False, as_index=False
         )["n"].sum()
 
-    h = (
+    # the histogram STAYS distributed: the driver pulls (a) the
+    # rb-collapsed (source, keep, nw) rollup for classification and
+    # (b) per-rb rows for the <=1-per-source PARTIAL groups only —
+    # never the full (source, keep, nw, rb) frame, whose 64x rb factor
+    # is the term that grows with sources x max-doc-length at scale
+    h_ds = (
         ds.map_batches(hist_partial, batch_format="pyarrow")
         .groupby("hb")
         .map_groups(hist_merge, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
 
+    def rb_collapse(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "keep", "nw"], sort=False, as_index=False)[
+            "n"
+        ].sum()
+
     # driver: group classification (bounded rows: sources x nw values)
-    grp = h.groupby(["source", "keep", "nw"], as_index=False)["n"].sum()
+    grp = (
+        h_ds.map_batches(rb_collapse, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .groupby(["source", "keep", "nw"], as_index=False)["n"]
+        .sum()
+    )
     grp["tok"] = grp["n"] * grp["nw"]
     total = grp.groupby("source")["tok"].transform("sum")
     grp = grp.assign(total=total).sort_values(
@@ -2218,9 +2237,28 @@ def token_budget_mix(
     grp["k_max"] = np.where(grp["code"] == 0, grp["n"], k_max)
     dec = grp[["source", "keep", "nw", "code", "k_max"]].reset_index(drop=True)
 
-    # per-(partial group, rb) exclusive rank offsets from the histogram
+    # per-(partial group, rb) exclusive rank offsets: only the partial
+    # groups' rows (<= sources x 64) leave the distributed histogram
     part_keys = dec[dec["code"] == 1][["source", "keep", "nw"]]
-    ph = h.merge(part_keys, on=["source", "keep", "nw"])
+    if part_keys.empty:  # every group FULL or NONE: nothing to rank
+        ph = pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "keep": pd.Series([], dtype=np.int64),
+                "nw": pd.Series([], dtype=np.int64),
+                "rb": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+    else:
+        pk_ref = ray.put(part_keys)
+
+        def part_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(ray.get(pk_ref), on=["source", "keep", "nw"])
+
+        ph = h_ds.map_batches(
+            part_rows, batch_format="pandas", batch_size=None
+        ).to_pandas()
     ph = ph.sort_values(["source", "keep", "nw", "rb"], kind="mergesort")
     ph["offset"] = ph.groupby(["source", "keep", "nw"])["n"].cumsum() - ph["n"]
     offsets = {
