@@ -1148,6 +1148,11 @@ def oracle_sql() -> dict[str, str]:
         # - pages_annotation_offsets: M15 annotation export (HTML parse
         #   + renderer offsets) — non-SQL; semantics pinned in
         #   tests/test_annotation_export.py.
+        # - pages_original_html: M16 reconstruction — the pages table is
+        #   not a driver-registered oracle view; roundtrip_ok is the
+        #   per-row byte-compare proof and the strip chain's DuckDB
+        #   twin is pinned value-identical in
+        #   tests/test_original_html.py.
         # - curate_task_sweep: A2 full 6-task x 8-threshold grid (ref
         #   inference.py:78-88) — neural node scorer, non-SQL; the
         #   Primary@90 slice is pinned bit-equal to the flagship

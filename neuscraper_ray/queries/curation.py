@@ -164,6 +164,47 @@ def pages_annotation_offsets(sf_dir: str):
     )
 
 
+def pages_original_html(sf_dir: str):
+    """M16 original-HTML reconstruction over the synthetic pages
+    corpus (ref ``AnnotateHtmlApi.py:841-869``): each page is first
+    deterministically instrumented the way the annotation tooling does
+    (layout attrs, per-element dcnode ids, instrument-span-wrapped
+    text nodes), then STRIPPED back with the vectorized RE2 chain —
+    one row per url with the reconstruction proof
+    (url, n_chars, roundtrip_ok). Rows-only: the pages table is not a
+    driver-registered oracle view; the DuckDB twin of the strip chain
+    (``stages.original_html.sql_strip_instrumentation``) is pinned
+    value-identical in tests/test_original_html.py, and roundtrip_ok
+    is itself the per-row proof (strip(instrument(html)) == html,
+    byte-compared in the query)."""
+    import pyarrow.compute as pc
+
+    from neuscraper_ray.stages.extract import decode_html
+    from neuscraper_ray.stages.original_html import (
+        instrument_html,
+        strip_instrumentation,
+    )
+
+    pages = ray.data.read_parquet(_pages_dir_for(sf_dir), columns=["url", "html"])
+
+    def reconstruct(t: pa.Table) -> pa.Table:
+        orig = [decode_html(h) for h in t.column("html").to_pylist()]
+        inst = pa.array([instrument_html(h) for h in orig], pa.string())
+        got = strip_instrumentation(inst)
+        ok = pc.equal(got, pa.array(orig, pa.string()))
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "n_chars": pa.array(
+                    [len(h) for h in orig], pa.int64()
+                ),
+                "roundtrip_ok": ok,
+            }
+        )
+
+    return pages.map_batches(reconstruct, batch_format="pyarrow", batch_size=64)
+
+
 def curate_task_sweep(sf_dir: str):
     """A2 full task x threshold sweep eval table (ref
     ``inference.py:78-88``: 6 tasks x 8 thresholds computed during
