@@ -35,8 +35,70 @@ NODES_SCHEMA = pa.schema(
 )
 
 
+# BOMs in sniff order — utf-32-le's BOM starts with utf-16-le's, so
+# the 4-byte marks must be tested first
+_BOMS = (
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+# HTML5-style meta charset scan over the head: both the <meta
+# charset="X"> and <meta http-equiv content="...; charset=X"> forms
+_META_CHARSET_RE = None  # compiled lazily (module import stays cheap)
+
+_SNIFF_LIMIT = 1024  # bytes scanned for the meta declaration (HTML5 §13.2)
+
+
+def sniff_encoding(raw: bytes) -> str | None:
+    """Detected encoding name, or None when only the fallback chain
+    applies: BOM first (authoritative), then an HTML5-style meta
+    charset scan of the first 1 KiB. The declared name must resolve
+    via ``codecs.lookup`` — unknown labels are ignored like chardet's
+    can't-detect path, not errors."""
+    import codecs
+    import re
+
+    global _META_CHARSET_RE
+    for bom, name in _BOMS:
+        if raw[: len(bom)] == bom:
+            return name
+    if _META_CHARSET_RE is None:
+        _META_CHARSET_RE = re.compile(
+            rb"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-]+)", re.I
+        )
+    m = _META_CHARSET_RE.search(raw[:_SNIFF_LIMIT])
+    if m:
+        name = m.group(1).decode("ascii", errors="replace")
+        try:
+            codecs.lookup(name)
+        except LookupError:
+            return None
+        return name
+    return None
+
+
 def decode_html(raw: bytes) -> str:
-    """bytes -> str: utf-8 with latin-1 fallback (never raises)."""
+    """bytes -> str, never raises. M1 with chardet-breadth sniffing:
+    a BOM is authoritative (decoded with replace — BOMs don't lie
+    about the family, only about stray bytes); a declared meta charset
+    is tried STRICT (a page lying about its encoding falls through);
+    then the utf-8-strict -> latin-1 chain (latin-1 never fails, so no
+    page is ever dropped). The reference's intent per SURVEY §3.1 —
+    its own chardet call is behind a swallowed exception."""
+    enc = sniff_encoding(raw)
+    if enc is not None:
+        if enc.startswith(("utf-16", "utf-32")):
+            bom = next(b for b, n in _BOMS if n == enc)
+            return raw[len(bom) :].decode(enc, errors="replace")
+        if enc == "utf-8-sig":  # -sig strips its own BOM
+            return raw.decode(enc, errors="replace")
+        try:
+            return raw.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            pass
     try:
         return raw.decode("utf-8")
     except (UnicodeDecodeError, AttributeError):

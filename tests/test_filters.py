@@ -255,3 +255,32 @@ def test_curate_task_sweep_query_shape():
     assert (df["n_nodes"] > 0).all()
     # Primary@90 present (the flagship slice predicts on this corpus)
     assert ((df["task"] == "Primary") & (df["thr_pct"] == 90)).any()
+
+
+def test_decode_html_sniffing():
+    """M1 chardet-breadth sniffing: BOMs are authoritative, a declared
+    meta charset is honored when it decodes strictly and ignored when
+    the page lies, and the utf-8 -> latin-1 chain never raises."""
+    from neuscraper_ray.stages.extract import decode_html, sniff_encoding
+
+    body = "<html><body>café — résumé</body></html>"
+    # BOM families
+    assert decode_html(b"\xef\xbb\xbf" + body.encode("utf-8")) == body
+    assert decode_html(body.encode("utf-16")) == body  # LE BOM prepended
+    assert decode_html(b"\xfe\xff" + body.encode("utf-16-be")) == body
+    # meta-declared single-byte charset, non-utf8 bytes decode right
+    win = ('<html><head><meta charset="windows-1252"></head>'
+           "<body>café</body></html>")
+    assert decode_html(win.encode("windows-1252")) == win
+    meta2 = ('<html><head><meta http-equiv="Content-Type" '
+             'content="text/html; charset=iso-8859-1"></head>'
+             "<body>søster</body></html>")
+    assert decode_html(meta2.encode("iso-8859-1")) == meta2
+    # a page LYING about its charset falls through to the chain
+    liar = '<meta charset="ascii"><body>é</body>'.encode("utf-8")
+    assert "é" in decode_html(liar)
+    # unknown label -> ignored, chain applies
+    assert sniff_encoding(b'<meta charset="not-a-codec"><body>x') is None
+    # plain utf-8 and broken bytes keep the old behavior
+    assert decode_html(body.encode("utf-8")) == body
+    assert decode_html(b"<body>caf\xe9</body>") == "<body>caf\xe9</body>"
