@@ -50,9 +50,17 @@ class CurateConfig:
     # a separate actor pool — the right shape when the node model needs
     # per-worker state (GPU weights); batch granularity is then node rows
     mark_duplicates: bool = False     # append dup_of (exact-dup canonical
-    # url); checkpoints the curated docs to parquet (never pins the
-    # whole dataset in the object store) for the two-pass hash
-    # projection — see stages.dedup_mark and dedup_checkpoint_dir
+    # url); the two-pass hash projection pins the curated docs in the
+    # object store only below dedup_pin_input_limit input bytes —
+    # above it they stream to a parquet checkpoint instead — see
+    # stages.dedup_mark and dedup_checkpoint_dir
+    dedup_pin_input_limit: int = 8 << 30  # input-parquet-bytes ceiling
+    # for the object-store materialize arm of mark_duplicates (curated
+    # docs are a fraction of input bytes, so this bounds the pin well
+    # under half the default 32 GiB store); unknown input size (non-
+    # file datasets) counts as over the limit — the checkpoint arm is
+    # always the safe one. Both arms are pinned byte-identical in
+    # tests/test_curate_pipeline.py.
     emit_content_hash: bool = False   # emit the md5 content_hash column
     # without marking (the runner's two-phase mark feed: partitions are
     # curated+committed independently, then one corpus-wide mark pass
@@ -168,16 +176,48 @@ def curate(pages: ray.data.Dataset, cfg: CurateConfig | None = None) -> ray.data
         from neuscraper_ray.stages.dedup_mark import mark_duplicates
 
         # Dup marking needs two passes over the curated docs (hash
-        # projection, then the mark). Instead of pinning the whole
-        # dataset in the object store (the old .materialize()), STREAM
-        # it to a parquet checkpoint: the object store only ever holds
+        # projection, then the mark). Size switch: when the INPUT
+        # parquet bytes (known statically, a conservative bound on the
+        # curated output) fit under dedup_pin_input_limit, pin the
+        # curated docs in the object store — no parquet round-trip, the
+        # fast arm on a node-sized corpus. Otherwise STREAM them to a
+        # parquet checkpoint: the object store only ever holds
         # in-flight blocks, the canonical projection re-reads ONLY the
-        # (content_hash, url) columns (column-pruned parquet scan; text
-        # bytes never move for pass 1), and the mark pass streams the
-        # files back through. content_hash was computed IN the filter
-        # pass above, so the corpus is md5-hashed exactly once end to
-        # end. The checkpoint doubles as a resume point at 100-TB scale
-        # — it IS the curated corpus on disk.
+        # (content_hash, url) columns (column-pruned scan; text bytes
+        # never move for pass 1), and the mark pass streams the files
+        # back through — the checkpoint doubles as a resume point at
+        # 100-TB scale (it IS the curated corpus on disk; the runner's
+        # two-phase --mark-duplicates is the recommended production
+        # route and never enters this branch). content_hash was
+        # computed IN the filter pass above either way — the corpus is
+        # md5-hashed exactly once end to end.
+        try:
+            in_files = pages.input_files()
+            # [] = in-memory / non-file source: size unknown, NOT zero
+            in_bytes = (
+                sum(os.path.getsize(f) for f in in_files) if in_files else None
+            )
+        except Exception:  # non-file source: size unknown -> checkpoint
+            in_bytes = None
+        if (
+            cfg.dedup_checkpoint_dir is None
+            and in_bytes is not None
+            and in_bytes <= cfg.dedup_pin_input_limit
+        ):
+            from neuscraper_ray.stages.dedup_mark import (
+                BROADCAST_CANON_LIMIT,
+                build_canonical_map_driver,
+                mark_with_canon,
+            )
+
+            m = out.materialize()
+            # corpus is known-bounded here, so the canonical index
+            # folds on the driver (zero exchanges); an extreme dup rate
+            # still falls back to the bucketed group-mark shuffle
+            canon = build_canonical_map_driver(m, "content_hash")
+            if len(canon) <= BROADCAST_CANON_LIMIT:
+                return mark_with_canon(m, ray.put(canon), hash_col="content_hash")
+            return mark_duplicates(m, hash_col="content_hash")
         ckpt = cfg.dedup_checkpoint_dir
         if ckpt is None:
             ckpt = tempfile.mkdtemp(prefix="curate_dedup_ckpt_")

