@@ -142,6 +142,26 @@ def oracle_sql() -> dict[str, str]:
             "< r.rate_ppm) AS keep "
             "FROM tok t JOIN r USING (source)"
         ),
+        "docs_unimax_mix": (
+            "WITH RECURSIVE t AS ("
+            "SELECT source, sum(len(str_split(text, ' ')))::BIGINT AS n_tokens "
+            "FROM documents GROUP BY source), "
+            "o AS (SELECT source, n_tokens, 4*n_tokens AS cap_tokens, "
+            "row_number() OVER (ORDER BY 4*n_tokens ASC, source ASC) AS rn, "
+            "count(*) OVER () AS n FROM t), "
+            "b AS (SELECT sum(n_tokens)::BIGINT AS budget FROM t), "
+            "wf(rn, alloc, rem) AS ("
+            "SELECT 0::BIGINT, 0::BIGINT, (SELECT budget FROM b) "
+            "UNION ALL "
+            "SELECT o.rn, least(o.cap_tokens, w.rem // (o.n - o.rn + 1)), "
+            "w.rem - least(o.cap_tokens, w.rem // (o.n - o.rn + 1)) "
+            "FROM wf w JOIN o ON o.rn = w.rn + 1) "
+            "SELECT o.source, o.n_tokens, o.cap_tokens, "
+            "wf.alloc AS alloc_tokens, "
+            "CASE WHEN o.n_tokens > 0 THEN (wf.alloc * 1000000) // o.n_tokens "
+            "ELSE 0 END AS epochs_e6 "
+            "FROM wf JOIN o USING (rn) WHERE wf.rn >= 1"
+        ),
         "docs_token_budget_mix": (
             "WITH qf AS (" + _heur.sql_quality_filter("documents") + "), "
             "t AS (SELECT d.doc_id, d.source, q.keep, q.n_words "

@@ -743,6 +743,55 @@ def _alpha_half_rates(totals: pd.DataFrame) -> dict[str, int]:
     return {s: (0 if t == 0 else (w * c) // t) for s, (t, w) in weights.items()}
 
 
+def docs_unimax_mix(sf_dir: str, epoch_cap: int = 4):
+    """UniMax source mixing (Chung et al. 2023, arXiv:2304.09151): the
+    fairer alternative to temperature sampling — allocate a total
+    token budget UNIFORMLY across sources, except no source repeats
+    more than ``epoch_cap`` epochs; the budget freed by capped (small)
+    sources waterfalls to the rest. Integer-exact sequential
+    waterfill: sources ordered by (cap asc, source asc); at each step
+    with m sources remaining and r budget left,
+    ``alloc = min(cap, r // m)``. Budget = one average epoch
+    (sum of all source tokens). -> per source
+    (source, n_tokens, cap_tokens, alloc_tokens, epochs_e6).
+
+    Scale shape: per-source token totals via combiner partials -> a
+    tiny groupby (O(sources x batches) rows); the waterfill runs on
+    the |sources|-row driver frame. The SQL twin reproduces the
+    sequential fill with a recursive CTE — both engines use exact
+    integer division, so the allocation agrees bit-for-bit."""
+    from neuscraper_ray.functions.textstats import token_count_batch
+
+    def tok_fn(t: pa.Table) -> pa.Table:
+        return token_count_batch(t).select(["doc_id", "source", "n_tokens"])
+
+    tok = _read(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        tok_fn, batch_format="pyarrow"
+    )
+    totals = _preagg_sum(
+        tok.select_columns(["source", "n_tokens"]), ["source"], ["n_tokens"]
+    ).to_pandas()
+
+    rows = sorted(
+        (
+            (str(s), int(t), epoch_cap * int(t))
+            for s, t in zip(totals["source"], totals["n_tokens"])
+        ),
+        key=lambda x: (x[2], x[0]),
+    )
+    r = sum(t for _, t, _ in rows)
+    out = []
+    for i, (s, t, cap) in enumerate(rows):
+        m = len(rows) - i
+        alloc = min(cap, r // m)
+        r -= alloc
+        out.append((s, t, cap, alloc, (alloc * 1_000_000) // t if t else 0))
+    return pd.DataFrame(
+        out,
+        columns=["source", "n_tokens", "cap_tokens", "alloc_tokens", "epochs_e6"],
+    ).sort_values("source").reset_index(drop=True)
+
+
 def docs_temperature_mix(sf_dir: str):
     """Temperature-based source mixing (the mT5/UniMax recipe at
     alpha = 0.5): a source's sampling weight is total_tokens^alpha, so

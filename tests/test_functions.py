@@ -1781,3 +1781,24 @@ def test_decode_images_stage_with_real_png():
     dec = ImageDecoder()
     want = dec._features(raster)
     assert np.allclose(np.asarray(out["features"].iloc[0]), want)
+
+
+def test_unimax_waterfill_invariants():
+    """UniMax allocation: never exceeds a source's epoch cap, spends
+    the whole budget unless every source is capped, and capped (small)
+    sources free budget that flows to larger ones (alloc monotone
+    non-decreasing in cap along the fill order)."""
+    from neuscraper_ray.queries import docs_unimax_mix
+
+    df = docs_unimax_mix(SF_DIR)
+    assert (df["alloc_tokens"] <= df["cap_tokens"]).all()
+    budget = int(df["n_tokens"].sum())
+    spent = int(df["alloc_tokens"].sum())
+    if (df["alloc_tokens"] == df["cap_tokens"]).all():
+        assert spent <= budget
+    else:
+        # integer waterfill spends all but < n_sources remainder
+        assert budget - spent < len(df)
+    assert (df["epochs_e6"] <= 4_000_000).all()
+    o = df.sort_values(["cap_tokens", "source"])
+    assert o["alloc_tokens"].is_monotonic_increasing
