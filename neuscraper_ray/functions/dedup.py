@@ -554,6 +554,8 @@ def snapshot_anti_dedup(
     text_col: str = "text",
     keep_col: str = "source",
     num_buckets: int = NUM_BUCKETS,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 23,
 ) -> ray.data.Dataset:
     """Incremental (snapshot-over-snapshot) exact dedup: keep only the
     rows of ``ds_new`` whose content hash does NOT appear anywhere in
@@ -567,26 +569,74 @@ def snapshot_anti_dedup(
     exchange on a coarse md5 bucket co-locates every copy of a hash,
     and the in-bucket anti-join is a vectorized ``isin`` against that
     bucket's old-side hashes. The exchange carries ~50 bytes/doc
-    regardless of doc size. (At extreme old-snapshot scale a per-bucket
-    Bloom built from the old side — ``functions/sketch.py:bloom`` — can
-    prefilter the new side before the exact in-bucket check; the exact
-    pass here is the correctness anchor.)
+    regardless of doc size.
+
+    ``bloom_prefilter=True`` is the extreme-scale swap-in: ONE extra
+    pass over the old side builds a packed Bloom bitmap of its text
+    fingerprints (per-batch bitmap partials, driver OR-fold, 1 MiB at
+    the default — ``functions/sketch.py``), broadcast once; new docs
+    whose fingerprint is DEFINITELY absent (no false negatives — same
+    text means same fingerprint) skip the md5 comparison entirely and
+    ride the exchange as (id, keep)-only pass-through rows, so only
+    the maybes (true dups + the bounded false-positive rate) carry
+    hashes and join the in-bucket check. Output is asserted
+    value-identical to the exact path in tests.
     """
+    from neuscraper_ray.functions.joins import _bucket_i64
+
+    bm_ref = None
+    if bloom_prefilter:
+        from neuscraper_ray.functions.sketch import bloom_build
+
+        def fp_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"fp": pa.array(ph.fingerprints(batch.column(text_col).to_pylist()))}
+            )
+
+        bm = bloom_build(
+            ds_old.map_batches(fp_rows, batch_format="pyarrow"), "fp", n_bits=bloom_bits
+        )
+        bm_ref = ray.put(bm)
 
     def project(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            hs = md5_hex(batch.column(text_col).to_pylist())
-            hb = np.fromiter(
-                (int(s[:4], 16) % num_buckets for s in hs),
-                dtype=np.int32,
-                count=len(hs),
-            )
             n = len(batch)
+            texts = batch.column(text_col).to_pylist()
+            if side and bm_ref is not None:
+                from neuscraper_ray.functions.sketch import bloom_maybe_contains
+
+                maybe = bloom_maybe_contains(
+                    ray.get(bm_ref), ph.fingerprints(texts).astype(np.uint64)
+                )
+            else:
+                maybe = np.ones(n, dtype=bool)
+            # definite-new rows skip md5 entirely and spread on an id
+            # bucket; maybes (and the whole old side) bucket on the hash
+            if side and bm_ref is not None:
+                hs = [""] * n
+                mh = iter(md5_hex([t for t, m in zip(texts, maybe) if m]))
+                for i, m in enumerate(maybe):
+                    if m:
+                        hs[i] = next(mh)
+            else:
+                hs = md5_hex(texts)
+            ids = (
+                batch.column(id_col).to_numpy().astype(np.int64)
+                if side
+                else np.full(n, -1, dtype=np.int64)
+            )
+            hb = np.where(
+                np.asarray([bool(s) for s in hs]),
+                np.fromiter(
+                    (int(s[:4], 16) % num_buckets if s else 0 for s in hs),
+                    dtype=np.int32,
+                    count=n,
+                ),
+                _bucket_i64(ids, num_buckets),
+            ).astype(np.int32)
             return pa.table(
                 {
-                    id_col: batch.column(id_col)
-                    if side
-                    else pa.array(np.full(n, -1, dtype=np.int64)),
+                    id_col: pa.array(ids, pa.int64()),
                     keep_col: batch.column(keep_col)
                     if side
                     else pa.array([""] * n, pa.string()),
@@ -601,7 +651,8 @@ def snapshot_anti_dedup(
     def anti(df: pd.DataFrame) -> pd.DataFrame:
         new = df[df["side"] == 1]
         old_h = df.loc[df["side"] == 0, "h"]
-        return new.loc[~new["h"].isin(old_h), [id_col, keep_col]]
+        keep = (new["h"] == "") | ~new["h"].isin(old_h)
+        return new.loc[keep, [id_col, keep_col]]
 
     both = ds_new.map_batches(project(1), batch_format="pyarrow").union(
         ds_old.map_batches(project(0), batch_format="pyarrow")

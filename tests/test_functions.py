@@ -1802,3 +1802,38 @@ def test_unimax_waterfill_invariants():
     assert (df["epochs_e6"] <= 4_000_000).all()
     o = df.sort_values(["cap_tokens", "source"])
     assert o["alloc_tokens"].is_monotonic_increasing
+
+
+def test_snapshot_anti_dedup_bloom_prefilter_identical():
+    """The Bloom-prefilter arm (definite-new docs skip md5 and ride
+    the exchange as pass-through rows) must emit exactly the exact
+    path's survivors — Bloom false negatives are impossible, so no
+    duplicate can escape, and false positives only cost a hash check."""
+    from neuscraper_ray.functions.dedup import snapshot_anti_dedup
+    from neuscraper_ray.queries import _snapshot_parity_filter
+
+    full = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    new = full.map_batches(_snapshot_parity_filter(1), batch_format="pyarrow")
+    old = full.map_batches(_snapshot_parity_filter(0), batch_format="pyarrow")
+    # plant exact cross-snapshot dups: two new docs carrying old texts
+    old_pd = old.to_pandas().head(2)
+    planted = pa.table(
+        {
+            "doc_id": pa.array([1_000_001, 1_000_002], pa.int64()),
+            "text": pa.array(list(old_pd["text"]), old.schema().types[1]),
+            "source": pa.array(["src1", "src3"], pa.string()),
+        }
+    )
+    new = new.union(ray.data.from_arrow(planted))
+
+    def _sorted(d):
+        return d.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    exact = _sorted(snapshot_anti_dedup(new, old))
+    bloom = _sorted(snapshot_anti_dedup(new, old, bloom_prefilter=True))
+    pd.testing.assert_frame_equal(exact, bloom)
+    n_new = new.count()
+    assert len(exact) == n_new - 2  # only the planted dups drop
+    assert 1_000_001 not in set(exact["doc_id"])
