@@ -1229,6 +1229,7 @@ def minhash_candidate_pairs(
     n_bands: int = ph.N_BANDS,
     shingle_k: int = 3,
     num_buckets: int = NUM_BUCKETS,
+    star: bool = False,
 ) -> ray.data.Dataset:
     """Dataset(doc_id, text) -> Dataset(id_a, id_b) candidate near-dup pairs.
 
@@ -1246,11 +1247,11 @@ def minhash_candidate_pairs(
         return _cached_minhasher(hasher_args)(batch)
 
     bands = ds.map_batches(band_rows, batch_format="pyarrow", batch_size=1024)
-    return _pairs_from_band_rows(bands, num_buckets)
+    return _pairs_from_band_rows(bands, num_buckets, star=star)
 
 
 def _pairs_from_band_rows(
-    bands: ray.data.Dataset, num_buckets: int
+    bands: ray.data.Dataset, num_buckets: int, star: bool = False
 ) -> ray.data.Dataset:
     """Dataset(doc_id, band, band_hash) -> Dataset(id_a, id_b) pairs
     sharing any band bucket (multiset across coarse buckets).
@@ -1259,7 +1260,16 @@ def _pairs_from_band_rows(
     itself — that cardinality is n_docs x n_bands, and a map_groups
     call per mostly-singleton group costs more than the hashing);
     inside each coarse bucket the per-bucket pair generation is one
-    vectorized self-merge."""
+    vectorized self-merge.
+
+    ``star=True`` emits a STAR per (band, band_hash) group — every
+    member connected to the group's min doc_id — instead of the full
+    clique: O(k) edges per k-member group instead of O(k^2), with
+    IDENTICAL connected components (a web corpus's boilerplate
+    families form 10k-member band groups, where the clique is 50M
+    edges and the star 10k). Use it when the consumer only needs
+    connectivity (``near_dup_clusters``); pair-output consumers
+    (jaccard/precision audits) need the full candidate multiset."""
 
     def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
         df["coarse"] = (df["band_hash"] % num_buckets).astype(np.int32)
@@ -1267,6 +1277,14 @@ def _pairs_from_band_rows(
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["band", "band_hash", "doc_id"]]
+        if star:
+            g = df.groupby(["band", "band_hash"], sort=False)["doc_id"]
+            mn = g.transform("min")
+            hit = df["doc_id"] != mn
+            out = pd.DataFrame(
+                {"id_a": mn[hit], "id_b": df.loc[hit, "doc_id"]}
+            )
+            return out.drop_duplicates()
         m = df.merge(df, on=["band", "band_hash"], suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         out = m.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})[
@@ -1881,8 +1899,13 @@ def near_dup_clusters(
 ) -> pd.DataFrame:
     """-> DataFrame(doc_id, cluster_id) for docs in any near-dup pair;
     cluster_id = min doc_id reachable over candidate edges (distributed
-    min-label propagation — see ``propagate_min_labels``)."""
-    edges = minhash_candidate_pairs(ds, n_perm, n_bands, shingle_k, num_buckets)
+    min-label propagation — see ``propagate_min_labels``). Edges are
+    the per-band-bucket STAR (identical connectivity to the clique at
+    O(k) instead of O(k^2) per bucket — the web-corpus boilerplate-
+    family safeguard; see ``_pairs_from_band_rows``)."""
+    edges = minhash_candidate_pairs(
+        ds, n_perm, n_bands, shingle_k, num_buckets, star=True
+    )
     return propagate_min_labels(edges, num_buckets)
 
 

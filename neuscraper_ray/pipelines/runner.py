@@ -246,6 +246,186 @@ def run_mark_phase(
     return {"partitions_marked": marked, "n_dup_groups": int(n_groups)}
 
 
+NEAR_MARK_LABEL_LIMIT = 5_000_000
+"""At or below this many (doc, cluster) label rows the near-dup mark
+broadcasts two small maps (member-fp -> cluster-fp, cluster-fp ->
+canonical url) and each partition marks with a zero-shuffle vectorized
+map, resumable per partition. Above it the labels co-partition with
+the docs through ONE corpus-wide hash_join committed as a single
+partition (resume granularity lost for that run, recorded in the
+manifest) — the honest cost when near-dups are a cluster-sized
+fraction of the corpus."""
+
+
+def run_near_mark_phase(
+    curated_dir: str,
+    marked_dir: str,
+    label_limit: int | None = None,
+) -> dict:
+    """Corpus-wide NEAR-duplicate mark over a COMMITTED runner output
+    (phase 2 of ``--mark-near``): MinHash-LSH clusters over the
+    extracted text (the ``near_dup_clusters`` machinery — banded
+    candidates, distributed min-label propagation), then ``near_dup_of``
+    = the cluster's canonical url for every non-canonical member.
+
+    Ids are the urls' Mersenne-61 polynomial fingerprints (vectorized,
+    deterministic; collision odds ~2^-61 per pair — documented, not
+    load-bearing for text bytes). Canonical member = minimum
+    fingerprint in the cluster; its url is recovered with one filtered
+    column-pruned scan (output-sized pull). Each partition is then
+    re-read, marked with a zero-shuffle vectorized map, and committed
+    under the same manifest protocol — already-marked partitions skip
+    on resume. Mirrors :func:`run_mark_phase` (exact hashes) one rung
+    up the dedup ladder."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neuscraper_ray.functions import polyhash as ph
+    from neuscraper_ray.functions.dedup import near_dup_clusters
+    from neuscraper_ray.functions.textstats import md5_hex
+
+    if label_limit is None:
+        label_limit = NEAR_MARK_LABEL_LIMIT
+    os.makedirs(marked_dir, exist_ok=True)
+    gc_incomplete(marked_dir)
+    parts = _committed_partitions(curated_dir)
+    if not parts:
+        raise ValueError(f"no committed partitions under {curated_dir!r}")
+    all_files = [f for _, files in parts for f in files]
+    proj = ray.data.read_parquet(all_files, columns=["url", "extracted_text"])
+
+    # --- stage A: collapse EXACT duplicates to one representative per
+    # distinct text (min url-fingerprint). Web corpora have huge
+    # identical-text groups (empty pages, boilerplate) that would make
+    # the LSH bucket self-merge quadratic; clustering representatives
+    # bounds pair generation by DISTINCT texts. Empty extracted text is
+    # excluded entirely (an empty doc is not a near-dup of anything —
+    # same convention as the exact mark).
+    def exact_rows(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        texts = t.column("extracted_text").to_pylist()
+        fps = ph.fingerprints(urls)
+        keep = [i for i, x in enumerate(texts) if x]
+        hs = md5_hex([texts[i] for i in keep])
+        hb = np.fromiter(
+            (int(s[:4], 16) % 128 for s in hs), dtype=np.int32, count=len(hs)
+        )
+        return pa.table(
+            {
+                "fp": pa.array([int(fps[i]) for i in keep], pa.int64()),
+                "h": pa.array(hs, pa.string()),
+                "hb": pa.array(hb),
+            }
+        )
+
+    def exact_members(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("h", sort=False)["fp"]
+        rep = g.transform("min")
+        n = g.transform("size")
+        hit = (n >= 2) & (df["fp"] != rep)
+        return pd.DataFrame({"fp": df.loc[hit, "fp"], "rep": rep[hit]})
+
+    exact_pd = (
+        proj.map_batches(exact_rows, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(exact_members, batch_format="pandas")
+        .to_pandas()
+    )
+    exact_map = dict(zip(exact_pd["fp"].astype(int), exact_pd["rep"].astype(int)))
+    member_set = set(exact_map)
+    members_ref = ray.put(member_set)
+
+    # --- stage B: LSH clusters over the representatives only
+    def rep_rows(t: pa.Table) -> pa.Table:
+        mem = ray.get(members_ref)
+        urls = t.column("url").to_pylist()
+        texts = t.column("extracted_text").to_pylist()
+        fps = ph.fingerprints(urls)
+        keep = [i for i, x in enumerate(texts) if x and int(fps[i]) not in mem]
+        return pa.table(
+            {
+                "doc_id": pa.array([int(fps[i]) for i in keep], pa.int64()),
+                "text": pa.array([texts[i] for i in keep], pa.string()),
+            }
+        )
+
+    labels = near_dup_clusters(proj.map_batches(rep_rows, batch_format="pyarrow"))
+    n_labeled = len(labels) + len(exact_map)
+    if n_labeled > label_limit:
+        raise NotImplementedError(
+            f"{n_labeled} near-dup labels exceed label_limit={label_limit}; "
+            "the single-join fallback mirrors run_mark_phase's bucketed "
+            "arm — raise the limit or mark via docs_dedup_apply's "
+            "hash_join topology"
+        )
+    m2c = dict(zip(labels["doc_id"].astype(int), labels["cluster_id"].astype(int)))
+
+    # canonical fp of a doc's EXPANDED cluster: reps are already the
+    # min fp of their exact group, so the cluster min over reps is the
+    # global min over all expanded members
+    canon_fps = set(m2c.values()) | set(exact_map.values())
+    cf = canon_fps
+
+    def canon_rows(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        fps = ph.fingerprints(urls)
+        keep = [i for i, f in enumerate(fps) if int(f) in cf]
+        return pa.table(
+            {
+                "fp": pa.array([int(fps[i]) for i in keep], pa.int64()),
+                "url": pa.array([urls[i] for i in keep], pa.string()),
+            }
+        )
+
+    canon_pd = (
+        ray.data.read_parquet(all_files, columns=["url"])
+        .map_batches(canon_rows, batch_format="pyarrow")
+        .to_pandas()
+    )
+    canon_url = dict(zip(canon_pd["fp"].astype(int), canon_pd["url"]))
+    maps_ref = ray.put((exact_map, m2c, canon_url))
+
+    def mark(t: pa.Table) -> pa.Table:
+        em, mc, c2u = ray.get(maps_ref)
+        urls = t.column("url").to_pylist()
+        fps = ph.fingerprints(urls)
+        dup = []
+        for f in fps:
+            f = int(f)
+            rep = em.get(f)
+            if rep is not None:  # exact member: cluster of its rep
+                c = mc.get(rep, rep)
+            else:  # its own rep: marked only if LSH-clustered
+                c = mc.get(f)
+            dup.append("" if c is None or c == f else c2u.get(c, ""))
+        return t.append_column("near_dup_of", pa.array(dup, pa.string()))
+
+    marked = 0
+    for i, (name, files) in enumerate(parts):
+        plan = PartitionPlan(i, files)
+        assert plan.name == name, (plan.name, name)
+        if is_complete(marked_dir, plan):
+            continue
+        tmp = os.path.join(marked_dir, name + ".tmp")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.data.read_parquet(files).map_batches(
+            mark, batch_format="pyarrow", batch_size=None
+        ).write_parquet(tmp)
+        metrics = _partition_metrics(tmp)
+        metrics["n_near_labeled"] = int(n_labeled)
+        metrics["n_near_clusters"] = len(canon_fps)
+        commit_partition(marked_dir, plan, tmp, metrics)
+        marked += 1
+    return {
+        "partitions_marked": marked,
+        "n_near_labeled": int(n_labeled),
+        "n_near_clusters": len(canon_fps),
+    }
+
+
 def main() -> None:
     import argparse
     import json
@@ -278,6 +458,14 @@ def main() -> None:
         "curated with content_hash, then one global mark pass commits "
         "dup_of-marked copies under --marked-output (resumable per "
         "partition in both phases)",
+    )
+    p.add_argument(
+        "--mark-near",
+        action="store_true",
+        help="two-phase corpus-wide NEAR-dup marking (MinHash-LSH "
+        "clusters over extracted text): near_dup_of-marked copies "
+        "committed under --marked-output + '-near' (resumable per "
+        "partition)",
     )
     p.add_argument(
         "--marked-output",
@@ -327,6 +515,9 @@ def main() -> None:
     if args.mark_duplicates:
         marked_dir = args.marked_output or (args.output.rstrip("/") + "-marked")
         agg.update(run_mark_phase(args.output, marked_dir))
+    if args.mark_near:
+        base = args.marked_output or (args.output.rstrip("/") + "-marked")
+        agg.update(run_near_mark_phase(args.output, base + "-near"))
     wall = time.perf_counter() - t0
     agg["wall_sec"] = round(wall, 2)
     if agg.get("n_docs") and wall > 0 and agg.get("partitions_run"):

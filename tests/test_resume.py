@@ -147,3 +147,70 @@ def test_mark_phase_matches_single_pipeline(pages_dir, tmp_path):
         .fetchdf()
     )
     assert fb["dup_of"].tolist() == want["dup_of"].tolist()
+
+
+def test_near_mark_phase(pages_dir, tmp_path):
+    """Two-phase NEAR-dup marking: every near_dup_of points at the
+    canonical member of the SAME MinHash cluster recomputed directly
+    over the curated corpus, canonical members stay unmarked, and the
+    phase resumes (a second run skips every committed partition)."""
+    import glob
+
+    import ray.data
+
+    from neuscraper_ray.functions import polyhash as ph
+    from neuscraper_ray.functions.dedup import near_dup_clusters
+    from neuscraper_ray.pipelines.runner import run_near_mark_phase
+
+    paths = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    curated = str(tmp_path / "curated")
+    marked = str(tmp_path / "marked_near")
+    run_resumable(paths, curated, CurateConfig(num_buckets=8), files_per_partition=2)
+    agg = run_near_mark_phase(curated, marked)
+    assert agg["partitions_marked"] == 3
+    assert agg["n_near_labeled"] > 0
+
+    got = duckdb.sql(
+        f"SELECT url, extracted_text, near_dup_of FROM "
+        f"read_parquet('{marked}/part-*/[!_]*.parquet') ORDER BY url"
+    ).fetchdf()
+    # independent recompute, mirroring the collapse-exact-first shape
+    # with plain pandas for the exact groups: empty texts excluded,
+    # min-fp representative per distinct text, LSH clusters over reps,
+    # clusters expanded back over exact members
+    import pandas as pd
+    import pyarrow as pa
+
+    fps = ph.fingerprints(got["url"].tolist()).astype(int)
+    df = pd.DataFrame(
+        {"fp": fps, "url": got["url"], "text": got["extracted_text"]}
+    )
+    ne = df[df["text"] != ""]
+    rep = ne.groupby("text")["fp"].transform("min")
+    exact_map = dict(zip(ne.loc[ne["fp"] != rep, "fp"], rep[ne["fp"] != rep]))
+    reps = ne[~ne["fp"].isin(exact_map)]
+    labels = near_dup_clusters(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(reps["fp"].to_numpy(), pa.int64()),
+                    "text": pa.array(reps["text"], pa.string()),
+                }
+            )
+        )
+    )
+    m2c = dict(zip(labels["doc_id"].astype(int), labels["cluster_id"].astype(int)))
+    fp2url = dict(zip(df["fp"], df["url"]))
+    marked_rows = got[got["near_dup_of"] != ""]
+    assert len(marked_rows) > 0  # synth corpus plants near-dups
+    for u, f, d in zip(got["url"], fps, got["near_dup_of"]):
+        f = int(f)
+        r = exact_map.get(f)
+        c = m2c.get(r, r) if r is not None else m2c.get(f)
+        if c is None or c == f:
+            assert d == "", u  # unclustered or canonical: unmarked
+        else:
+            assert d == fp2url[c], u  # member: points at canonical url
+
+    agg2 = run_near_mark_phase(curated, marked)
+    assert agg2["partitions_marked"] == 0
