@@ -254,6 +254,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_exactsubstr_dedup": polyhash.sql_exactsubstr_dedup(
             "documents", k=20
         ),
+        "docs_intra_dedup": polyhash.sql_intra_doc_dedup(
+            "documents", k=3
+        ),
         "docs_chunk_dedup": (
             "WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, "
             "'[ \\t\\n\\x0b\\x0c\\r]+'), w -> w != '') AS ws FROM documents), "

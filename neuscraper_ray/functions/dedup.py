@@ -1153,6 +1153,51 @@ def exactsubstr_dedup(
     return both.groupby("db").map_groups(apply_bucket, batch_format="pandas")
 
 
+def intra_doc_dedup(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """WITHIN-document repeated-span removal (the intra-doc rung of
+    the ExactSubstr ladder — Gopher's "repetition removal" applied,
+    not just measured as in ``textstats.repetition_stats_batch``):
+    every k-token window whose token sequence already occurred EARLIER
+    IN THE SAME DOCUMENT (earlier = smaller win_idx) has its tokens
+    removed; survivors reassemble in order.
+    -> ``(doc_id, n_tokens, n_removed, text_dedup)`` for every doc.
+
+    Identity and removal geometry are shared verbatim with
+    :func:`exactsubstr_dedup` (same ``_rolling_window_hashes`` fold,
+    same ``_apply_span_removal`` coverage diff), only the
+    first-occurrence scope shrinks from corpus to document — which
+    collapses the topology to ZERO exchanges: every decision is local
+    to the doc, so the whole operator is one stateless ``map_batches``
+    and scales embarrassingly at any corpus size. The DuckDB twin
+    (``polyhash.sql_intra_doc_dedup``) computes the identical window
+    hashes with ``PARTITION BY doc_id, wh``.
+    """
+
+    def batch(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        texts = t.column(text_col).to_pylist()
+        dw = ph.DocWords(texts)
+        win_doc, win_idx, wh = _rolling_window_hashes(dw, k)
+        # duplicate = same hash at an earlier win_idx in the SAME doc
+        order = np.lexsort((win_idx, wh, win_doc))
+        d, h, w = win_doc[order], wh[order], win_idx[order]
+        first = np.ones(len(d), dtype=bool)
+        if len(d):
+            first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        mdoc, mwin = ids[d[~first]], w[~first]
+        o2 = np.lexsort((mwin, mdoc))  # _apply_span_removal wants
+        return _apply_span_removal(  # marks sorted by doc id value
+            ids, texts, mdoc[o2], mwin[o2], k
+        )
+
+    return ds.map_batches(batch, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- minhash
 
 

@@ -714,6 +714,55 @@ GROUP BY h.doc_id, h.n
 """
 
 
+def sql_intra_doc_dedup(table: str = "documents", k: int = 3) -> str:
+    """Full DuckDB statement: WITHIN-document repeated-span removal ->
+    (doc_id, n_tokens, n_removed BIGINT, text_dedup) for every doc.
+    Value-identical to ``dedup.intra_doc_dedup`` — the
+    ``sql_exactsubstr_dedup`` statement with the first-occurrence
+    partition narrowed from corpus (``PARTITION BY wh``) to document
+    (``PARTITION BY doc_id, wh``)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, {sql_word_list('text')} AS ws FROM {table}
+),
+hw AS (
+  SELECT doc_id, ws, len(ws)::BIGINT AS n,
+         list_transform(ws, w -> {sql_word_hash('w', BASE_W1)}) AS hs
+  FROM d
+),
+win AS (
+  SELECT doc_id, i - 1 AS win_idx,
+         list_reduce(list_prepend(0::HUGEINT, hs[i:i+{k}-1]),
+                     (acc, x) -> (acc*{BASE_S} + x) % {MOD})::BIGINT AS wh
+  FROM hw, unnest(range(1, n - {k} + 2)) AS u(i)
+  WHERE n >= {k}
+),
+dups AS (
+  SELECT doc_id, win_idx FROM (
+    SELECT doc_id, win_idx,
+           row_number() OVER (PARTITION BY doc_id, wh ORDER BY win_idx) AS rn
+    FROM win)
+  WHERE rn > 1
+),
+tok AS (
+  SELECT doc_id, i - 1 AS tok_idx, ws[i] AS w
+  FROM hw, unnest(range(1, n + 1)) AS u(i)
+),
+marked AS (
+  SELECT t.doc_id, t.tok_idx, t.w,
+         EXISTS (SELECT 1 FROM dups dp WHERE dp.doc_id = t.doc_id
+                 AND dp.win_idx BETWEEN t.tok_idx - {k} + 1 AND t.tok_idx) AS removed
+  FROM tok t
+)
+SELECT h.doc_id, h.n AS n_tokens,
+       coalesce(sum(CASE WHEN m.removed THEN 1 ELSE 0 END), 0)::BIGINT AS n_removed,
+       coalesce(string_agg(CASE WHEN m.removed THEN NULL ELSE m.w END,
+                           ' ' ORDER BY m.tok_idx), '') AS text_dedup
+FROM hw h LEFT JOIN marked m ON h.doc_id = m.doc_id
+GROUP BY h.doc_id, h.n
+"""
+
+
 def sql_snapshot_near_anti(
     table: str = "documents", threshold_e6: int = 500_000
 ) -> str:

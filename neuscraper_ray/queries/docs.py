@@ -1679,6 +1679,24 @@ def docs_exactsubstr_dedup(sf_dir: str, k: int = 20):
     return exactsubstr_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), k=k)
 
 
+def docs_intra_dedup(sf_dir: str, k: int = 3):
+    """WITHIN-document repeated-span removal (Gopher-style repetition
+    REMOVAL — the intra-doc rung below corpus-wide
+    ``docs_exactsubstr_dedup``): every word-3-gram window repeating an
+    earlier window of the SAME document loses its tokens; survivors
+    rejoin with ' '. -> (doc_id, n_tokens, n_removed, text_dedup).
+    ZERO exchanges — every decision is doc-local, so this is one
+    stateless ``map_batches`` at any corpus size (the cheapest rung of
+    the whole dedup ladder). Identity is the shared 61-bit rolling
+    window hash, so the DuckDB twin
+    (``polyhash.sql_intra_doc_dedup``) agrees bit-for-bit; at sf0.01,
+    27 of 500 docs carry an intra-doc repeat, so the operator
+    genuinely fires here."""
+    from neuscraper_ray.functions.dedup import intra_doc_dedup
+
+    return intra_doc_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), k=k)
+
+
 def docs_lm_buckets(sf_dir: str):
     """CCNet-style LM quality bucketing (Wenzek et al. 2020,
     arXiv:1911.00359), with the pretrained KenLM replaced by a

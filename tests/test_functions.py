@@ -1681,6 +1681,39 @@ def test_exactsubstr_no_duplicates_is_identity():
     assert out["text_dedup"].tolist() == [" ".join(t.split()) for t in texts]
 
 
+def test_intra_doc_dedup_planted_spans():
+    """intra_doc_dedup removes only WITHIN-doc repeats: a span
+    repeated across two docs survives in both (corpus scope would
+    have removed the second copy), a span repeated inside one doc
+    loses its second occurrence, and the first occurrence always
+    keeps its tokens."""
+    from neuscraper_ray.functions.dedup import intra_doc_dedup
+
+    texts = [
+        "a b c x y z a b c",        # intra-doc repeat of "a b c"
+        "a b c p q r",              # same span, different doc: kept
+        "u v w u v",                # repeat shorter than k=3: kept
+        "",                         # empty doc
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    )
+    out = (
+        intra_doc_dedup(ds, k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text_dedup"].tolist() == [
+        "a b c x y z",
+        "a b c p q r",
+        "u v w u v",
+        "",
+    ]
+    assert out["n_tokens"].tolist() == [9, 6, 5, 0]
+    assert out["n_removed"].tolist() == [3, 0, 0, 0]
+
+
 def test_snapshot_near_anti_dedup_drops_near_dups():
     """snapshot_near_anti_dedup must drop every new-crawl doc whose
     verified Jaccard vs some old-snapshot doc clears the threshold —
