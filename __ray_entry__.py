@@ -127,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_decontaminate": polyhash.sql_decontaminate("documents"),
         "docs_contamination_frac": polyhash.sql_contamination_frac("documents"),
+        "docs_span_decontaminate": polyhash.sql_span_decontaminate("documents"),
         "docs_dsir_weights": _dsir.sql_dsir("documents"),
         "docs_mix_sources": (
             "SELECT doc_id, source FROM documents WHERE "

@@ -134,6 +134,103 @@ def decontaminate(
     return ds.map_batches(mark, batch_format="pyarrow")
 
 
+def span_decontaminate(
+    ds: ray.data.Dataset,
+    bench_ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = DEFAULT_MODULUS,
+) -> ray.data.Dataset:
+    """SPAN-level decontamination: instead of dropping a contaminated
+    document (``decontaminate``), remove only the words covered by a
+    benchmark-matching word-3-gram window and keep the rest — the
+    surgical variant used when the corpus is too valuable to drop
+    whole docs over one leaked sentence.
+    -> ``(doc_id, n_words, n_removed, text_clean)`` for every
+    non-benchmark doc (words rejoined with ' '; docs with 0 < n < 3
+    words match on their single all-words shingle and are removed
+    whole when it hits; empty docs pass through).
+
+    Same scale shape as ``decontaminate`` — broadcast sorted benchmark
+    array, vectorized searchsorted per batch, ZERO corpus shuffle; the
+    removal reuses the ExactSubstr span-coverage kernel
+    (``dedup._apply_span_removal``). SQL twin:
+    ``polyhash.sql_span_decontaminate``."""
+    from neuscraper_ray.functions import polyhash as ph
+    from neuscraper_ray.functions.dedup import (
+        _apply_span_removal,
+        _rolling_window_hashes,
+    )
+
+    _MASK32 = np.uint64(0xFFFFFFFF)
+
+    def clean(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bench = ray.get(bench_ref)
+        ids = t.column(id_col).to_numpy()
+        keep = ids % modulus != 0
+        ids = ids[keep].astype(np.int64)
+        texts = t.filter(pa.array(keep)).column(text_col).to_pylist()
+        n = len(texts)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+                "text_clean": pa.array([], pa.string()),
+            }
+        )
+        if n == 0:
+            return empty
+
+        def in_bench(s32: np.ndarray) -> np.ndarray:
+            if not len(bench) or not len(s32):
+                return np.zeros(len(s32), dtype=bool)
+            ix = np.searchsorted(bench, s32)
+            ix[ix == len(bench)] = 0
+            return bench[ix] == s32
+
+        dw = ph.DocWords(texts)
+        win_doc, win_idx, wh = _rolling_window_hashes(dw, 3)
+        hit = in_bench(wh.astype(np.uint64) & _MASK32)
+        mdoc, mwin = ids[win_doc[hit]], win_idx[hit]
+        o = np.lexsort((mwin, mdoc))
+        out = _apply_span_removal(ids, texts, mdoc[o], mwin[o], 3)
+
+        # short docs (0 < n_words < 3) carry one all-words shingle —
+        # no full window exists, so they are matched (and removed
+        # whole) separately; the rare-tail loop mirrors
+        # polyhash.doc_shingles32's short path
+        n_words = (dw.wend - dw.wstart).astype(np.int64)
+        short = np.nonzero((n_words > 0) & (n_words < 3))[0]
+        short_rm = np.zeros(n, dtype=bool)
+        if len(short):
+            folds = np.zeros(len(short), dtype=np.uint64)
+            for j, d in enumerate(short):
+                s = np.zeros(1, dtype=np.uint64)
+                for w in range(dw.wstart[d], dw.wend[d]):
+                    s = ph._red(ph.mulmod(s, np.uint64(ph.BASE_S)) + dw.h1[w])
+                folds[j] = s[0]
+            short_rm[short[in_bench(folds & _MASK32)]] = True
+
+        n_tok = out.column("n_tokens").to_numpy()
+        n_rem = np.where(short_rm, n_tok, out.column("n_removed").to_numpy())
+        txt = pc.if_else(
+            pa.array(short_rm), pa.scalar(""), out.column("text_dedup")
+        )
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "n_words": pa.array(n_tok, pa.int64()),
+                "n_removed": pa.array(n_rem.astype(np.int64), pa.int64()),
+                "text_clean": txt,
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
 def contamination_frac(
     ds: ray.data.Dataset,
     bench_ref,

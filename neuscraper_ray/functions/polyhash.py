@@ -714,6 +714,62 @@ GROUP BY h.doc_id, h.n
 """
 
 
+def sql_span_decontaminate(table: str = "documents", modulus: int = 20) -> str:
+    """Full DuckDB statement: SPAN-level decontamination ->
+    (doc_id, n_words, n_removed BIGINT, text_clean) for every
+    non-benchmark doc (benchmark = ``doc_id % modulus = 0``).
+    Value-identical to ``decontam.span_decontaminate``: the benchmark
+    shingle set is the ``sql_shingle_ctes`` contract; a corpus doc's
+    word-3-gram window whose 32-bit fold appears in that set has its
+    words removed (short docs with 1-2 words match on their single
+    all-words shingle and clear whole)."""
+    return f"""
+WITH {sql_shingle_ctes(f'(SELECT * FROM {table} WHERE doc_id % {modulus} = 0)')},
+bench AS (SELECT DISTINCT s32 FROM shu),
+d2 AS (
+  SELECT doc_id, {sql_word_list('text')} AS ws FROM {table}
+  WHERE doc_id % {modulus} <> 0
+),
+hw2 AS (
+  SELECT doc_id, ws, len(ws)::BIGINT AS n,
+         list_transform(ws, w -> {sql_word_hash('w', BASE_W1)}) AS hs
+  FROM d2
+),
+win AS (
+  SELECT doc_id, i - 1 AS win_idx, 3::BIGINT AS wl,
+         list_reduce(list_prepend(0::HUGEINT, hs[i:i+2]),
+                     (acc, x) -> (acc*{BASE_S} + x) % {MOD}) % 4294967296 AS s32
+  FROM hw2, unnest(range(1, n - 1)) AS u(i)
+  WHERE n >= 3
+  UNION ALL
+  SELECT doc_id, 0 AS win_idx, n AS wl,
+         list_reduce(list_prepend(0::HUGEINT, hs),
+                     (acc, x) -> (acc*{BASE_S} + x) % {MOD}) % 4294967296 AS s32
+  FROM hw2 WHERE n BETWEEN 1 AND 2
+),
+bad AS (
+  SELECT w.doc_id, w.win_idx, w.wl FROM win w JOIN bench b ON w.s32 = b.s32
+),
+tok AS (
+  SELECT doc_id, i - 1 AS tok_idx, ws[i] AS w
+  FROM hw2, unnest(range(1, n + 1)) AS u(i)
+),
+marked AS (
+  SELECT t.doc_id, t.tok_idx, t.w,
+         EXISTS (SELECT 1 FROM bad bp WHERE bp.doc_id = t.doc_id
+                 AND t.tok_idx BETWEEN bp.win_idx
+                                   AND bp.win_idx + bp.wl - 1) AS removed
+  FROM tok t
+)
+SELECT h.doc_id, h.n AS n_words,
+       coalesce(sum(CASE WHEN m.removed THEN 1 ELSE 0 END), 0)::BIGINT AS n_removed,
+       coalesce(string_agg(CASE WHEN m.removed THEN NULL ELSE m.w END,
+                           ' ' ORDER BY m.tok_idx), '') AS text_clean
+FROM hw2 h LEFT JOIN marked m ON h.doc_id = m.doc_id
+GROUP BY h.doc_id, h.n
+"""
+
+
 def sql_intra_doc_dedup(table: str = "documents", k: int = 3) -> str:
     """Full DuckDB statement: WITHIN-document repeated-span removal ->
     (doc_id, n_tokens, n_removed BIGINT, text_dedup) for every doc.

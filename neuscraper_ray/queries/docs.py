@@ -990,6 +990,26 @@ def docs_decontaminate(sf_dir: str):
     return decontaminate(ds, ray.put(bench))
 
 
+def docs_span_decontaminate(sf_dir: str):
+    """SPAN-level benchmark decontamination: remove only the words
+    covered by a benchmark-matching word-3-gram window instead of
+    dropping whole docs (the surgical companion to
+    ``docs_decontaminate`` — standard practice when eval leakage is a
+    sentence, not the document). -> (doc_id, n_words, n_removed,
+    text_clean) per non-benchmark doc. Same zero-corpus-shuffle shape
+    (broadcast sorted benchmark shingles, searchsorted per batch); the
+    removal reuses the ExactSubstr span-coverage kernel. SQL-verified
+    via ``polyhash.sql_span_decontaminate``."""
+    from neuscraper_ray.functions.decontam import (
+        benchmark_shingle_array,
+        span_decontaminate,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = benchmark_shingle_array(ds)
+    return span_decontaminate(ds, ray.put(bench))
+
+
 def docs_token_quantiles(sf_dir: str):
     """Exact distributed quantiles of per-doc token count.
 

@@ -1681,6 +1681,59 @@ def test_exactsubstr_no_duplicates_is_identity():
     assert out["text_dedup"].tolist() == [" ".join(t.split()) for t in texts]
 
 
+def test_span_decontaminate_planted():
+    """span_decontaminate removes exactly the words covered by a
+    benchmark-matching 3-gram window: partial docs keep their clean
+    words, short docs (<3 words) clear whole on their single-shingle
+    match, benchmark docs are excluded from the output."""
+    import ray as _ray
+
+    from neuscraper_ray.functions.decontam import (
+        benchmark_shingle_array,
+        span_decontaminate,
+    )
+
+    rows = [
+        (0, "leak one two tail"),      # benchmark doc (id % 20 == 0)
+        (1, "head leak one two rest"), # contains the benchmark 3-gram
+        (2, "totally different words here"),
+        (3, "leak one"),               # short, no single-shingle match
+        (20, "tiny pair"),             # benchmark doc, 2 words
+        (4, "tiny pair"),              # short doc matching bench whole
+        (5, ""),                       # empty doc
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+    bench = benchmark_shingle_array(ds)
+    out = (
+        span_decontaminate(ds, _ray.put(bench))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert sorted(out.index) == [1, 2, 3, 4, 5]  # benchmark docs excluded
+    # doc 1: windows "head leak one", "leak one two", "one two rest" —
+    # only "leak one two" is in the benchmark; its 3 words go
+    assert out.loc[1, "text_clean"] == "head rest"
+    assert out.loc[1, "n_removed"] == 3
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[2, "text_clean"] == "totally different words here"
+    # doc 3's single shingle is over ("leak","one") which is NOT a
+    # benchmark shingle (bench doc 0 has >= 3 words, so only full
+    # 3-gram shingles enter the set)
+    assert out.loc[3, "n_removed"] == 0
+    # doc 4 matches benchmark doc 20's all-words shingle: cleared whole
+    assert out.loc[4, "text_clean"] == ""
+    assert out.loc[4, "n_removed"] == 2
+    assert out.loc[5, "n_words"] == 0 and out.loc[5, "text_clean"] == ""
+
+
 def test_intra_doc_dedup_planted_spans():
     """intra_doc_dedup removes only WITHIN-doc repeats: a span
     repeated across two docs survives in both (corpus scope would
