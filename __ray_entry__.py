@@ -670,6 +670,21 @@ def oracle_sql() -> dict[str, str]:
             "RANGE BETWEEN INTERVAL 15 MINUTE PRECEDING AND CURRENT ROW)::BIGINT "
             "AS n_15min FROM events"
         ),
+        "events_late_arrivals": (
+            "WITH w AS ("
+            "  SELECT event_id, user_id, ts,"
+            "    max(ts) OVER (PARTITION BY user_id ORDER BY ("
+            + polyhash.sql_fingerprint("event_id::VARCHAR")
+            + ") % 999983, event_id"
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm"
+            "  FROM events) "
+            "SELECT event_id, user_id, "
+            "greatest(coalesce(date_diff('microsecond', ts, wm), 0), 0)::BIGINT"
+            " AS behind_us, "
+            "greatest(coalesce(date_diff('microsecond', ts, wm), 0), 0)"
+            " > 600000000 AS late "
+            "FROM w"
+        ),
         "events_asof_join": (
             "SELECT p.event_id, v.ts AS view_ts, "
             "date_diff('microsecond', v.ts, p.ts)::BIGINT AS gap_us "

@@ -78,6 +78,65 @@ def events_user_sessions(sf_dir: str):
     )
 
 
+def events_late_arrivals(sf_dir: str, lateness_min: int = 10):
+    """Watermark / late-data detection (the Beam/Flink allowed-lateness
+    rule, SURVEY §2.10 streaming family): a per-user watermark tracks
+    the max EVENT-time seen so far in ARRIVAL order; an event arriving
+    more than ``lateness_min`` minutes behind the watermark of its
+    user's earlier arrivals is LATE (a streaming engine would route it
+    to a side output / trigger a window retraction).
+    -> (event_id, user_id, behind_us, late) per event.
+
+    The synthetic log is already event-time-ordered per user (storage
+    order = ``event_id`` = time order), under which no event is ever
+    late — so the query replays it in a DETERMINISTIC shuffled arrival
+    order, ``(fingerprint(event_id) % 999983, event_id)`` (the mod
+    breaks the base-257 digit fold's monotonicity in the id), the engine-
+    independent permutation both sides share (``polyhash``); the
+    operator body is arrival-order-agnostic.
+
+    Scale shape: the sessionization topology — ONE keyed exchange on
+    ``user_id % B``, in-bucket sort + per-user vectorized running max
+    (cummax + shift); no state actor, no per-user Python. SQL twin:
+    ``max(ts) OVER (PARTITION BY user_id ORDER BY fp, event_id ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``."""
+    from neuscraper_ray.functions.polyhash import int_fingerprints
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    late_us = np.int64(lateness_min * 60 * 1_000_000)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["user_id"] % NUM_BUCKETS).astype(np.int32)
+        return df
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(fp=int_fingerprints(df["event_id"].to_numpy()) % 999983)
+        df = df.sort_values(["user_id", "fp", "event_id"], kind="mergesort")
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        wm_prev = (
+            pd.Series(ts_us, index=df.index).groupby(
+                df["user_id"], sort=False
+            ).cummax()
+        ).groupby(df["user_id"], sort=False).shift()
+        behind = (wm_prev.to_numpy() - ts_us).astype("float64")
+        behind = np.nan_to_num(behind, nan=0.0)
+        behind = np.maximum(behind, 0.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "behind_us": behind,
+                "late": behind > late_us,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(mark, batch_format="pandas")
+    )
+
+
 def events_rolling_count(sf_dir: str):
     """Sliding window: per event, count of same-user events in the
     last 15 minutes (inclusive RANGE semantics, matching SQL
