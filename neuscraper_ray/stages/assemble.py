@@ -41,9 +41,13 @@ def assemble_page_text(node_ids: list[int], texts: list[str]) -> str:
 
 def assemble_bucket_arrow(t: pa.Table) -> pa.Table:
     """Arrow/polars variant of ``assemble_bucket`` (the hot path):
-    identical semantics, ~3.5x faster — strings never become Python
-    objects (polars group_by + str.join run in Rust on the Arrow
-    buffers)."""
+    identical semantics — strings never become Python objects (polars
+    group_by + str.join run in Rust on the Arrow buffers), and the
+    whole body is ONE lazy plan with ONE join: the per-url error
+    aggregate runs over ALL rows and sentinels guarantee >=1 row per
+    url, so it doubles as the url spine (the former separate
+    ``all_urls`` frame + second join measured ~40% of this kernel's
+    time across its nine eager collects)."""
     import polars as pl
 
     cols = ["url", "node_id", "text"]
@@ -51,18 +55,20 @@ def assemble_bucket_arrow(t: pa.Table) -> pa.Table:
     err_col = "err" if "err" in names else ("tag" if "tag" in names else None)
     if err_col:
         cols.append(err_col)
-    df = pl.from_arrow(t.select(cols))
+    lf = pl.from_arrow(t.select(cols)).lazy()
     if err_col == "tag":
-        df = df.with_columns((pl.col("tag") == "#error").alias("err")).drop("tag")
+        lf = lf.with_columns((pl.col("tag") == "#error").alias("err")).drop("tag")
     elif err_col is None:
-        df = df.with_columns(pl.lit(False).alias("err"))
-    errs = df.group_by("url").agg(pl.col("err").any().alias("parse_error"))
-    all_urls = df.select(pl.col("url").unique())
-    real = df.filter(pl.col("node_id") >= 0).unique(
-        subset=["url", "node_id"], keep="first"
-    )
+        lf = lf.with_columns(pl.lit(False).alias("err"))
+    errs = lf.group_by("url").agg(pl.col("err").any().alias("parse_error"))
     agg = (
-        real.sort(["url", "node_id"], descending=[False, True])
+        lf.filter(pl.col("node_id") >= 0)
+        # reference semantics: predicted node ids are a per-url SET
+        # (union across chunks/occurrences) — duplicate (url, node_id)
+        # rows are identical by construction, so any-keep is exact and
+        # the sort below makes the row order deterministic again
+        .unique(subset=["url", "node_id"], keep="first")
+        .sort(["url", "node_id"], descending=[False, True])
         .group_by("url", maintain_order=True)
         .agg(
             [
@@ -78,17 +84,24 @@ def assemble_bucket_arrow(t: pa.Table) -> pa.Table:
         )
     )
     out = (
-        all_urls.join(agg, on="url", how="left")
-        .join(errs, on="url", how="left")
+        errs.join(agg, on="url", how="left")
         .with_columns(
             [
                 pl.col("extracted_text").fill_null(""),
                 pl.col("n_kept").fill_null(0).cast(pl.Int32),
                 pl.col("bullet_ratio").fill_null(0.0).cast(pl.Float64),
                 pl.col("ellipsis_ratio").fill_null(0.0).cast(pl.Float64),
-                pl.col("parse_error").fill_null(False),
             ]
         )
+        .select(
+            "url",
+            "extracted_text",
+            "n_kept",
+            "bullet_ratio",
+            "ellipsis_ratio",
+            "parse_error",
+        )
+        .collect()
     )
     return out.to_arrow()
 
