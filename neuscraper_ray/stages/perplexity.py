@@ -102,6 +102,51 @@ def perplexity(text: str, table: np.ndarray | None = None) -> float:
     return float(np.exp(-lp.mean()))
 
 
+_VEC_CHUNK = 1 << 17  # ~128 KiB of concatenated doc bytes per kernel pass
+
+
+def perplexity_vec(texts: list[str], table: np.ndarray) -> np.ndarray:
+    """Batch-vectorized :func:`perplexity`, bit-identical per row.
+
+    Docs are concatenated into ~128 KiB chunks (cache-resident — one
+    full-batch concat was measured 20x SLOWER on a bandwidth-starved
+    box because every temporary spills to DRAM); each chunk pays one
+    encode + one trigram gather. A doc's trigram at offset j uses bytes
+    j..j+2 of that doc only (its slice stops at n-2), so cross-doc
+    trigrams in the concatenated stream are never read. The per-doc
+    ``seg.mean()`` runs on the same contiguous float32 values with the
+    same numpy pairwise summation as the scalar path, so results are
+    bit-identical to ``perplexity`` (pinned in tests).
+    """
+    enc = [t[:8000].encode("utf-8", "replace") for t in texts]
+    out = np.zeros(len(enc), dtype=np.float64)
+    n_docs = len(enc)
+    i = 0
+    while i < n_docs:
+        j, tot = i, 0
+        while j < n_docs and (tot == 0 or tot + len(enc[j]) <= _VEC_CHUNK):
+            tot += len(enc[j])
+            j += 1
+        chunk = enc[i:j]
+        buf = np.frombuffer(b"".join(chunk), dtype=np.uint8)
+        if len(buf) >= 3:
+            # int32 throughout: max trigram id 128^3-1 < 2^31
+            ids = np.minimum(buf, _V - 1).astype(np.int32)
+            tri = ids[:-2] * np.int32(_V * _V)
+            tri += ids[1:-1] * np.int32(_V)
+            tri += ids[2:]
+            lp = table[tri]
+            pos = 0
+            for k, b in enumerate(chunk):
+                n = len(b)
+                if n >= 3:
+                    seg = lp[pos : pos + n - 2]
+                    out[i + k] = float(np.exp(-seg.mean()))
+                pos += n
+        i = j
+    return out
+
+
 def perplexity_batch(
     df: pd.DataFrame, column: str = "extracted_text", table_ref=None
 ) -> pd.DataFrame:
@@ -116,9 +161,7 @@ def perplexity_batch(
         t = ray.get(table_ref)
     else:
         t = _get_table()
-    df["ppl"] = np.asarray(
-        [perplexity(x, t) for x in df[column].tolist()], dtype=np.float64
-    )
+    df["ppl"] = perplexity_vec(df[column].tolist(), t)
     return df
 
 
@@ -132,8 +175,5 @@ class PerplexityScorer:
         self.table = build_logprob_table()  # once per actor
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        df["ppl"] = np.asarray(
-            [perplexity(x, self.table) for x in df[self.column].tolist()],
-            dtype=np.float64,
-        )
+        df["ppl"] = perplexity_vec(df[self.column].tolist(), self.table)
         return df

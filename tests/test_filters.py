@@ -40,6 +40,28 @@ def test_perplexity_deterministic(ppl_table):
     assert (ppl_table == t2).all()
 
 
+def test_perplexity_vec_bit_identical(ppl_table):
+    """The chunked batch kernel must equal the scalar path bit-for-bit
+    (the oracle scores per row; the pipeline scores per batch)."""
+    import random
+
+    import numpy as np
+
+    from neuscraper_ray.stages.perplexity import _VEC_CHUNK, perplexity_vec
+
+    rng = random.Random(5)
+    texts = ["", "a", "ab", "abc", "x" * 9001, "日本語のテキスト" * 400,
+             "q" * (_VEC_CHUNK + 7)]  # clipped to 8000 like the scalar path
+    for _ in range(250):
+        texts.append(
+            "".join(chr(rng.randint(1, 0x2FF)) for _ in range(rng.randint(0, 600)))
+        )
+    rng.shuffle(texts)
+    vec = perplexity_vec(texts, ppl_table)
+    scalar = np.array([perplexity(t, ppl_table) for t in texts])
+    assert (vec == scalar).all()
+
+
 def test_heuristics_rules():
     good = " ".join(["the data engine runs with a result and more values"] * 5)
     assert apply_rules(good)[0] == []
