@@ -36,8 +36,25 @@ _CONFIDENCE = 0.5
 HEAD_CHARS = 600  # language ID saturates well before this many chars
 
 
+_FEAT_CHUNK = 1024  # docs per kernel pass: bincount stays ~2M entries
+
+
 def _featurize(texts: list[str]) -> np.ndarray:
-    """(n, _DIM) float32 hashed byte-2/3-gram bag, L2-normalized."""
+    """(n, _DIM) float32 hashed byte-2/3-gram bag, L2-normalized.
+
+    Large batches are processed ``_FEAT_CHUNK`` docs at a time so the
+    ``n * _DIM`` bincount stays cache-sized (a 20k-row block would
+    otherwise allocate a 41M-entry count array per pass — DRAM-bound on
+    a bandwidth-starved box). Rows are independent, so chunking is
+    bit-identical to one pass.
+    """
+    if len(texts) > _FEAT_CHUNK:
+        return np.concatenate(
+            [
+                _featurize(texts[i : i + _FEAT_CHUNK])
+                for i in range(0, len(texts), _FEAT_CHUNK)
+            ]
+        )
     n = len(texts)
     heads = [t[:HEAD_CHARS].lower().encode("utf-8", "replace") for t in texts]
     lens = np.fromiter((len(h) for h in heads), dtype=np.int64, count=n)
