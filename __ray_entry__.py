@@ -53,6 +53,7 @@ def oracle_sql() -> dict[str, str]:
     from neuscraper_ray.functions import polyhash
     from neuscraper_ray.functions import ann as _ann
     from neuscraper_ray.functions import urls as _urls
+    from neuscraper_ray.queries import docs as _docs_q
     from neuscraper_ray.stages import heuristics as _heur
 
     def _temp_rate_ctes(tok: str) -> str:
@@ -165,7 +166,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_token_budget_mix": (
             "WITH qf AS (" + _heur.sql_quality_filter("documents") + "), "
-            "t AS (SELECT d.doc_id, d.source, q.keep, q.n_words "
+            "t AS (SELECT d.doc_id, d.source, q.keep, "
+            f"least(q.n_words, {_docs_q.NW_CLAMP}) AS n_words "
             "FROM documents d JOIN qf q USING (doc_id)), "
             "s AS (SELECT source, sum(n_words)::BIGINT AS total "
             "FROM t GROUP BY source), "

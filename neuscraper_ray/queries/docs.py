@@ -2232,6 +2232,9 @@ def docs_token_budget_mix(sf_dir: str):
     return token_budget_mix(ds, max_id=max_id)
 
 
+NW_CLAMP = 1 << 20  # per-doc token-count cap in the budget accounting
+
+
 def token_budget_mix(
     ds: ray.data.Dataset, max_id: int | None = None
 ) -> ray.data.Dataset:
@@ -2239,7 +2242,16 @@ def token_budget_mix(
     ``docs_token_budget_mix`` (see its docstring for the scale story);
     takes any Dataset with (doc_id, text, source). Planted edge cases
     (boundary ties, zero-token docs, all-zero sources, repartition
-    invariance) are pinned in tests/test_functions.py."""
+    invariance) are pinned in tests/test_functions.py.
+
+    Token counts are clamped at ``NW_CLAMP`` (2^20 — 5x the Gopher
+    MAX_WORDS drop bound, so only already-dropped giants can hit it):
+    a single pathological multi-GB doc then counts 1M tokens toward
+    the budget instead of minting its own histogram key, which bounds
+    the driver-side rollup at sources x 2 x NW_CLAMP rows no matter
+    what the corpus contains. The SQL twin applies the same ``least``
+    (shared constant), and the clamped value is what ``n_tokens``
+    reports for such docs in both engines."""
     from neuscraper_ray.functions.joins import _bucket_i64, str_buckets
     from neuscraper_ray.stages.heuristics import drop_reasons
 
@@ -2257,7 +2269,7 @@ def token_budget_mix(
                 "doc_id": ids.astype(np.int64),
                 "source": t.column("source").to_pandas(),
                 "keep": (reason == "").astype(np.int64),
-                "nw": nw.astype(np.int64),
+                "nw": np.minimum(nw.astype(np.int64), NW_CLAMP),
                 "rb": (ids * RB // span).astype(np.int64),
             }
         )

@@ -1387,6 +1387,35 @@ def test_token_budget_mix_planted_edges():
     assert 10 in kept_by_src.get("B", []) or 11 in kept_by_src.get("B", [])
 
 
+def test_token_budget_mix_clamps_giant_docs():
+    """A doc past NW_CLAMP counts NW_CLAMP tokens toward the budget
+    and reports NW_CLAMP as n_tokens — the guard that bounds the
+    driver rollup against pathological doc lengths (both engines
+    share the constant; the SQL twin applies the same least())."""
+    import pyarrow as pa
+
+    from neuscraper_ray.queries import token_budget_mix
+    from neuscraper_ray.queries.docs import NW_CLAMP
+
+    giant = "w " * (NW_CLAMP + 50_000)  # ~1.1M words, all identical
+    tbl = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "source": ["G", "G", "G"],
+            "text": [giant, giant, giant],
+        }
+    )
+    got = (
+        token_budget_mix(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # identical clamped docs: cum(1)=C <= 1.2C passes, cum(2)=2C fails
+    assert got["doc_id"].tolist() == [0]
+    assert got["n_tokens"].tolist() == [NW_CLAMP]
+
+
 def test_url_normalize_rules():
     """Each canonicalization rule on a handcrafted URL, plus the
     case-sensitivity boundary: host lowercases, path does not."""
