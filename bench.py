@@ -165,6 +165,13 @@ def _run_bench() -> dict:
         "docs_fertility_by_lang",
         "docs_dedup_keep_best",
         "docs_minhash_precision",
+        # round-5 additions
+        "docs_exactsubstr_dedup",
+        "docs_intra_dedup",
+        "docs_incremental_near_dedup",
+        "docs_span_decontaminate",
+        "docs_unimax_mix",
+        "events_late_arrivals",
     ]
     q_times: dict[str, float] = {}
     if mark_sec is not None:

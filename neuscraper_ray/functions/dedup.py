@@ -660,6 +660,123 @@ def snapshot_anti_dedup(
     return both.groupby("hb").map_groups(anti, batch_format="pandas")
 
 
+SNAPSHOT_NEAR_BROADCAST_OLD_LIMIT = 100_000
+
+
+def _snapshot_near_broadcast(
+    ds_new: ray.data.Dataset,
+    old_tb: "pa.Table",
+    id_col: str,
+    text_col: str,
+    keep_col: str,
+    threshold_e6: int,
+    a_par: np.ndarray,
+    b_par: np.ndarray,
+) -> ray.data.Dataset:
+    """Small-old-snapshot arm of :func:`snapshot_near_anti_dedup`:
+    the OLD side's derived (id, shingles, signature) table fits the
+    broadcast limit, so pack it once on the driver — per-band sorted
+    band-hash arrays for O(log n) candidate lookup plus the ragged
+    shingle values/offsets for exact verification — ``ray.put`` it,
+    and decide every new doc inside one ``map_batches`` pass over
+    ``ds_new`` with ZERO exchanges (the join path pays six). Candidate
+    generation (band match), verification (exact Jaccard at
+    ``threshold_e6``) and the anti semantics are bit-identical to the
+    join arm; tests pin the two arms value-equal."""
+    import pyarrow.compute as _pc
+
+    n_old = old_tb.num_rows
+    old_sigs = (
+        old_tb.column("sig")
+        .combine_chunks()
+        .flatten()
+        .to_numpy()
+        .reshape(n_old, ph.N_PERM)
+        .view(np.uint64)
+    )
+    bh_old = ph.band_hashes(old_sigs, ph.N_BANDS)  # (n_old, N_BANDS) uint64
+    sh_col = old_tb.column("sh").combine_chunks()
+    old_lens = _pc.list_value_length(sh_col).to_numpy().astype(np.int64)
+    old_vals = np.ascontiguousarray(sh_col.flatten().to_numpy())
+    old_offs = np.zeros(n_old + 1, dtype=np.int64)
+    np.cumsum(old_lens, out=old_offs[1:])
+    # per-band posting index: sorted band hashes + the argsort that
+    # maps a sorted position back to the old doc row
+    band_sorted = []
+    band_order = []
+    for b in range(ph.N_BANDS):
+        order = np.argsort(bh_old[:, b], kind="stable").astype(np.int32)
+        band_sorted.append(np.ascontiguousarray(bh_old[order, b]))
+        band_order.append(order)
+    packed = ray.put(
+        {
+            "band_sorted": band_sorted,
+            "band_order": band_order,
+            "old_vals": old_vals,
+            "old_offs": old_offs,
+        }
+    )
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        P = ray.get(packed)  # zero-copy views out of the object store
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        texts = t.column(text_col).to_pylist()
+        n = len(texts)
+        dw = ph.DocWords(texts)
+        sh32, sdoc = ph.doc_shingles32(dw)
+        sigs = ph.minhash_sigs(sh32, sdoc, n, a_par, b_par)
+        bh_new = ph.band_hashes(sigs.view(np.uint64), ph.N_BANDS)
+        bounds = np.searchsorted(sdoc, np.arange(n + 1))
+        # candidate pairs from every band, then global pair dedup
+        pair_keys: list[np.ndarray] = []
+        for b in range(ph.N_BANDS):
+            sb = P["band_sorted"][b]
+            lo = np.searchsorted(sb, bh_new[:, b], side="left")
+            hi = np.searchsorted(sb, bh_new[:, b], side="right")
+            counts = hi - lo
+            nz = counts > 0
+            if not nz.any():
+                continue
+            c = counts[nz]
+            starts = lo[nz]
+            ends = np.cumsum(c)
+            flat = (
+                np.arange(ends[-1], dtype=np.int64)
+                - np.repeat(ends - c, c)
+                + np.repeat(starts, c)
+            )
+            i_new = np.repeat(np.nonzero(nz)[0].astype(np.int64), c)
+            i_old = P["band_order"][b][flat].astype(np.int64)
+            pair_keys.append(i_new * n_old + i_old)
+        hit = np.zeros(n, dtype=bool)
+        if pair_keys:
+            keys = np.unique(np.concatenate(pair_keys))
+            ov, oo = P["old_vals"], P["old_offs"]
+            for key in keys:
+                i = int(key // n_old)
+                if hit[i]:
+                    continue
+                j = int(key % n_old)
+                a = sh32[bounds[i] : bounds[i + 1]].astype(np.int64)
+                bsh = ov[oo[j] : oo[j + 1]]
+                inter = len(np.intersect1d(a, bsh, assume_unique=True))
+                union = len(a) + len(bsh) - inter
+                j6 = (inter * 1_000_000) // union if union else 1_000_000
+                if j6 >= threshold_e6:
+                    hit[i] = True
+        keep = ~hit
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                keep_col: t.column(keep_col).cast(pa.string()).filter(
+                    pa.array(keep)
+                ),
+            }
+        )
+
+    return ds_new.map_batches(keep_rows, batch_format="pyarrow")
+
+
 def snapshot_near_anti_dedup(
     ds_new: ray.data.Dataset,
     ds_old: ray.data.Dataset,
@@ -668,6 +785,7 @@ def snapshot_near_anti_dedup(
     keep_col: str = "source",
     threshold_e6: int = 500_000,
     num_buckets: int = NUM_BUCKETS,
+    broadcast_old_limit: int = SNAPSHOT_NEAR_BROADCAST_OLD_LIMIT,
 ) -> ray.data.Dataset:
     """Incremental (snapshot-over-snapshot) NEAR-dup dedup: keep only
     the rows of ``ds_new`` that are not MinHash-LSH-candidate +
@@ -677,8 +795,14 @@ def snapshot_near_anti_dedup(
     pages with a new footer" case. -> ``(id_col, keep_col)`` of the
     surviving new docs. Ids must be unique across both sides.
 
-    Scale shape: BOTH snapshots may be corpus-sized, so neither side
-    broadcasts anywhere. Each side reduces to a derived (id, shingles,
+    Scale shape, size-switched like ``minhash_precision_pairs`` /
+    ``mark_duplicates``: when the OLD snapshot's derived table holds
+    <= ``broadcast_old_limit`` docs (a backfill against a small seed
+    set, or the bench geometry) it broadcasts as a packed per-band
+    posting index and every new doc is decided in one zero-exchange
+    ``map_batches`` pass (:func:`_snapshot_near_broadcast`). Above the
+    limit BOTH snapshots may be corpus-sized, so neither side
+    broadcasts anywhere: each side reduces to a derived (id, shingles,
     signature) table in one vectorized pass (text never moves again);
     band rows from both sides co-partition on a coarse band-hash
     bucket and the in-bucket merge emits only NEW x OLD candidate
@@ -688,7 +812,8 @@ def snapshot_near_anti_dedup(
     ``unique``), exact Jaccard verifies vectorized per edge batch, and
     the final anti-join co-partitions hits with the new docs on a
     coarse id bucket. Semantics (and fixed-point e6) are reproduced
-    exactly by ``polyhash.sql_snapshot_near_anti``."""
+    exactly by ``polyhash.sql_snapshot_near_anti`` and both arms are
+    pinned value-identical in tests."""
     import pyarrow as _pa
 
     from neuscraper_ray.functions.joins import _bucket_i64, hash_join
@@ -716,8 +841,30 @@ def snapshot_near_anti_dedup(
             }
         )
 
-    derived_new = ds_new.map_batches(derived_rows, batch_format="pyarrow").materialize()
     derived_old = ds_old.map_batches(derived_rows, batch_format="pyarrow").materialize()
+    n_old = derived_old.count()
+    if n_old == 0:
+        # no prior snapshot: every new doc survives (and the broadcast
+        # packer would pa.concat_tables([]) on an empty derived table)
+        def passthrough(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: t.column(id_col).cast(pa.int64()),
+                    keep_col: t.column(keep_col).cast(pa.string()),
+                }
+            )
+
+        return ds_new.map_batches(passthrough, batch_format="pyarrow")
+    if n_old <= broadcast_old_limit:
+        old_tb = pa.concat_tables(
+            list(derived_old.iter_batches(batch_format="pyarrow"))
+        ).combine_chunks()
+        return _snapshot_near_broadcast(
+            ds_new, old_tb, id_col, text_col, keep_col, threshold_e6,
+            a_par, b_par,
+        )
+
+    derived_new = ds_new.map_batches(derived_rows, batch_format="pyarrow").materialize()
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:

@@ -1821,6 +1821,49 @@ def test_snapshot_near_anti_dedup_drops_near_dups():
     assert set(near["doc_id"]) <= set(exact["doc_id"])
 
 
+def test_snapshot_near_broadcast_matches_join():
+    """snapshot_near_anti_dedup's size switch: the broadcast-old-index
+    arm (default at this corpus size) and the neither-side-broadcasts
+    join arm (forced with broadcast_old_limit=0) must emit identical
+    (doc_id, source) survivor sets."""
+    from neuscraper_ray.functions.dedup import snapshot_near_anti_dedup
+    from neuscraper_ray.queries import _snapshot_parity_filter
+
+    full = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    new = full.map_batches(_snapshot_parity_filter(1), batch_format="pyarrow")
+    old = full.map_batches(_snapshot_parity_filter(0), batch_format="pyarrow")
+
+    def _sorted(d):
+        return (
+            d.to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype({"doc_id": "int64", "source": "string"})
+        )
+
+    bc = _sorted(snapshot_near_anti_dedup(new, old))
+    jn = _sorted(snapshot_near_anti_dedup(new, old, broadcast_old_limit=0))
+    pd.testing.assert_frame_equal(bc, jn)
+    assert len(bc) > 0
+
+
+def test_snapshot_near_empty_old_passthrough():
+    """An empty prior snapshot keeps every new doc (and must not hit
+    the broadcast packer's concat-of-nothing edge)."""
+    from neuscraper_ray.functions.dedup import snapshot_near_anti_dedup
+
+    new = ray.data.from_items(
+        [{"doc_id": 1, "text": "alpha beta gamma", "source": "s1"}]
+    )
+    old = ray.data.from_items(
+        [{"doc_id": 2, "text": "alpha beta gamma", "source": "s0"}]
+    ).filter(lambda r: False)
+    out = snapshot_near_anti_dedup(new, old).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+
+
 def test_bigram_lm_sharded_matches_broadcast():
     """docs_bigram_lm_score's size switch: the broadcast-model path and
     the web-vocab sharded path (model co-partitioned with pair rows on
